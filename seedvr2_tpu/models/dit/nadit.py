@@ -1,0 +1,475 @@
+"""NaDiT — Native-resolution Diffusion Transformer, TPU-native.
+
+Ground-up JAX reimplementation of the reference NaDiT 3B/7B
+(reference: src/models/dit_3b/nadit.py, src/models/dit_7b/nadit.py and their
+nablocks). Differences from the reference are deliberate TPU design:
+
+- Dense, statically-shaped tensors [B, L, D] instead of flattened varlen
+  (L, c) + shape tensors: one pipeline run has constant shapes, so the
+  whole na.py index machinery becomes compile-time gather plans
+  (models/dit/windows.py).
+- Window attention over padded uniform windows with a key-validity mask
+  instead of flash-attn varlen cu_seqlens
+  (reference: dit_3b/nablocks/attention/mmattn.py:190-257).
+- Text tokens are appended to every window; their attention outputs are
+  averaged over windows, matching na.repeat_concat_idx's coalescing
+  (reference: dit_3b/na.py:396-417).
+- Per-window RoPE with window-local coordinates, matching the reference's
+  get_freqs on window_shape (3B mmrope: temporal offset by txt_len,
+  dit_3b/rope.py:154-176; 7B pixel rope, dit_7b/rope.py:95-111).
+- Parameters are a plain nested-dict pytree -> trivially shardable with
+  jax.sharding NamedSharding (parallel/sharding.py), replacing BlockSwap.
+
+Quirk replicated on purpose: the reference 3B vid_out_ada asks AdaSingle for
+layer "out" but, due to the shared per-forward cache key "emb_repeat_0_vid",
+receives the *attn-layer* slice of the time embedding computed by the blocks
+(reference: dit_3b/modulation.py:80-87 with nadit.py:236-244). We therefore
+use the attn slice (l=0) for the output modulation; checkpoint parity
+requires this, a "fixed" version would change numerics.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...config import DiTConfig
+from ...ops.attention import attention
+from ...ops.normalization import rms_norm
+from ...ops.rope import apply_rotary, axial_freqs_lang, axial_freqs_pixel
+from .windows import WindowPlan, window_plan
+
+Params = Dict
+
+
+# --------------------------------------------------------------------------- #
+# Static per-resolution attention plan (windows + rope angles + masks)
+# --------------------------------------------------------------------------- #
+
+
+class LayerPlan(NamedTuple):
+    plan: WindowPlan
+    vid_angles: Optional[np.ndarray]  # [n_win, max_len, rot] or None
+    txt_angles: Optional[np.ndarray]  # [txt_len, rot] or None
+
+
+class AttnPlans(NamedTuple):
+    """One entry per distinct window method (plain / shifted)."""
+
+    plain: LayerPlan
+    shifted: LayerPlan
+    thw: Tuple[int, int, int]
+    txt_len: int
+
+    def for_layer(self, i: int) -> LayerPlan:
+        # window_method alternates [plain, shifted] (reference:
+        # configs_*/main.yaml window_method).
+        return self.plain if i % 2 == 0 else self.shifted
+
+
+def _rope_angles_for_plan(
+    cfg: DiTConfig, plan: WindowPlan, txt_len: int
+) -> Tuple[Optional[np.ndarray], Optional[np.ndarray]]:
+    rot3 = ((cfg.rope_dim // 3) & ~1) * 3
+    max_len = plan.max_len
+    vid = np.zeros((plan.n_win, max_len, rot3), dtype=np.float32)
+    if cfg.rope_type == "mmrope3d":
+        per = (cfg.rope_dim // 3) & ~1
+        for i, (t, h, w) in enumerate(plan.shapes):
+            a = axial_freqs_lang((t, h, w), per, offsets=(txt_len, 0, 0))
+            vid[i, : t * h * w] = a.reshape(-1, rot3)
+        txt_axis = axial_freqs_lang((txt_len,), per) if txt_len else np.zeros((0, per), np.float32)
+        txt = np.tile(txt_axis.reshape(txt_len, per), (1, 3)).astype(np.float32)
+        return vid, txt
+    if cfg.rope_type == "window_pixel":
+        per = (cfg.rope_dim // 3) & ~1
+        for i, (t, h, w) in enumerate(plan.shapes):
+            a = axial_freqs_pixel((t, h, w), per)
+            vid[i, : t * h * w] = a.reshape(-1, rot3)
+        return vid, None  # 7B does not rope text
+    if cfg.rope_type in (None, "none"):
+        return None, None
+    raise NotImplementedError(cfg.rope_type)
+
+
+def build_attn_plans(cfg: DiTConfig, thw: Tuple[int, int, int], txt_len: int) -> AttnPlans:
+    """Host-side: all static per-shape constants for attention."""
+    plain = window_plan(thw, cfg.window, shifted=False)
+    shifted = window_plan(thw, cfg.window, shifted=True)
+    pv, pt = _rope_angles_for_plan(cfg, plain, txt_len)
+    sv, st = _rope_angles_for_plan(cfg, shifted, txt_len)
+    return AttnPlans(
+        plain=LayerPlan(plain, pv, pt),
+        shifted=LayerPlan(shifted, sv, st),
+        thw=thw,
+        txt_len=txt_len,
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Parameter initialization
+# --------------------------------------------------------------------------- #
+
+
+def _linear(key, din, dout, dtype, bias=True):
+    w = jax.random.normal(key, (din, dout), jnp.float32) * (din**-0.5)
+    p = {"w": w.astype(dtype)}
+    if bias:
+        p["b"] = jnp.zeros((dout,), dtype)
+    return p
+
+
+def _mm(key, make, shared: bool, vid_only: bool):
+    """Build vid/txt (or shared 'all') param group, mirroring MMModule
+    (reference: dit_3b/mm.py:35-57)."""
+    k1, k2 = jax.random.split(key)
+    if shared:
+        return {"all": make(k1)}
+    out = {"vid": make(k1)}
+    if not vid_only:
+        out["txt"] = make(k2)
+    return out
+
+
+def _ada_params(key, dim, dtype, layers=("attn", "mlp"), modes=("in", "out")):
+    """AdaSingle per-branch params (reference: dit_3b/modulation.py:43-63)."""
+    out = {}
+    keys = jax.random.split(key, len(layers) * 3)
+    i = 0
+    for l in layers:
+        if "in" in modes:
+            out[f"{l}_shift"] = (jax.random.normal(keys[i], (dim,)) / dim**0.5).astype(dtype)
+            out[f"{l}_scale"] = (jax.random.normal(keys[i + 1], (dim,)) / dim**0.5 + 1).astype(dtype)
+        if "out" in modes:
+            out[f"{l}_gate"] = (jax.random.normal(keys[i + 2], (dim,)) / dim**0.5).astype(dtype)
+        i += 3
+    return out
+
+
+def init_params(cfg: DiTConfig, key: jax.Array, dtype=jnp.float32) -> Params:
+    keys = jax.random.split(key, cfg.num_layers + 8)
+    D = cfg.vid_dim
+    inner = cfg.inner_dim
+    patch_in_dim = cfg.vid_in_channels * int(np.prod(cfg.patch_size))
+    patch_out_dim = cfg.vid_out_channels * int(np.prod(cfg.patch_size))
+
+    params: Params = {
+        "vid_in": _linear(keys[0], patch_in_dim, D, dtype),
+        "txt_in": _linear(keys[1], cfg.txt_in_dim, cfg.txt_dim, dtype),
+        "emb_in": {
+            "proj_in": _linear(keys[2], cfg.sinusoidal_dim, D, dtype),
+            "proj_hid": _linear(keys[3], D, D, dtype),
+            "proj_out": _linear(keys[4], D, cfg.emb_dim, dtype),
+        },
+        "vid_out": _linear(keys[5], D, patch_out_dim, dtype),
+    }
+    if cfg.vid_out_norm:
+        params["vid_out_norm"] = {"w": jnp.ones((D,), dtype)}
+        params["vid_out_ada"] = {
+            "vid": _ada_params(keys[6], D, dtype, layers=("out",), modes=("in",))
+        }
+
+    blocks: List[Params] = []
+    for i in range(cfg.num_layers):
+        bk = jax.random.split(keys[8 + i], 8)
+        shared = cfg.shared_weights(i)
+        vid_only = cfg.vid_only(i)
+        if cfg.mlp_type == "swiglu":
+            hidden = int(2 * D * cfg.expand_ratio / 3)
+            m = cfg.swiglu_multiple_of
+            hidden = m * ((hidden + m - 1) // m)
+
+            def make_mlp(k, hidden=hidden):
+                k1, k2, k3 = jax.random.split(k, 3)
+                return {
+                    "proj_in_gate": _linear(k1, D, hidden, dtype, bias=False),
+                    "proj_in": _linear(k2, D, hidden, dtype, bias=False),
+                    "proj_out": _linear(k3, hidden, D, dtype, bias=False),
+                }
+
+        else:
+
+            def make_mlp(k):
+                k1, k2 = jax.random.split(k)
+                return {
+                    "proj_in": _linear(k1, D, D * cfg.expand_ratio, dtype),
+                    "proj_out": _linear(k2, D * cfg.expand_ratio, D, dtype),
+                }
+
+        block = {
+            "attn": {
+                "qkv": _mm(bk[0], lambda k: _linear(k, D, 3 * inner, dtype, bias=cfg.qk_bias), shared, False),
+                "out": _mm(bk[1], lambda k: _linear(k, inner, D, dtype), shared, False),
+                "norm_q": _mm(bk[2], lambda k: {"w": jnp.ones((cfg.head_dim,), dtype)}, shared, False),
+                "norm_k": _mm(bk[3], lambda k: {"w": jnp.ones((cfg.head_dim,), dtype)}, shared, False),
+            },
+            "mlp": _mm(bk[4], make_mlp, shared, vid_only),
+            "ada": _mm(bk[5], lambda k: _ada_params(k, D, dtype), shared, vid_only),
+        }
+        blocks.append(block)
+    params["blocks"] = blocks
+    return params
+
+
+# --------------------------------------------------------------------------- #
+# Building blocks
+# --------------------------------------------------------------------------- #
+
+
+def _apply_linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    y = x @ p["w"].astype(x.dtype)
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
+def _branch(p: Params, name: str) -> Params:
+    return p["all"] if "all" in p else p[name]
+
+
+def _has_txt(p: Params) -> bool:
+    return "all" in p or "txt" in p
+
+
+def time_embedding(p: Params, cfg: DiTConfig, timestep: jnp.ndarray, dtype) -> jnp.ndarray:
+    """Sinusoidal + MLP time embedding (reference: dit_3b/embedding.py:25-62;
+    sinusoid layout = diffusers get_timestep_embedding with
+    flip_sin_to_cos=False, downscale_freq_shift=0: [sin | cos])."""
+    half = cfg.sinusoidal_dim // 2
+    t = timestep.astype(jnp.float32)
+    freqs = jnp.exp(-np.log(10000.0) * jnp.arange(half, dtype=jnp.float32) / half)
+    ang = t[:, None] * freqs[None]
+    emb = jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1).astype(dtype)
+    emb = _apply_linear(p["proj_in"], emb)
+    emb = jax.nn.silu(emb.astype(jnp.float32)).astype(dtype)
+    emb = _apply_linear(p["proj_hid"], emb)
+    emb = jax.nn.silu(emb.astype(jnp.float32)).astype(dtype)
+    emb = _apply_linear(p["proj_out"], emb)
+    return emb  # [B, 6*D]
+
+
+def _ada_slices(emb: jnp.ndarray, dim: int) -> jnp.ndarray:
+    """emb [B, 6*dim] -> [B, dim, 2(layer), 3(shift,scale,gate)]
+    (reference: modulation.py:76)."""
+    B = emb.shape[0]
+    return emb.reshape(B, dim, 2, 3)
+
+
+def _ada(
+    p_ada: Params,
+    branch: str,
+    x: jnp.ndarray,  # [B, L, D]
+    emb_slices: jnp.ndarray,  # [B, D, 2, 3]
+    emb_idx: int,  # 0 = attn slice, 1 = mlp slice
+    mode: str,
+    param_prefix: Optional[str] = None,
+) -> jnp.ndarray:
+    """AdaSingle (reference: modulation.py:65-118):
+    in:  x * (scaleA + scaleB) + (shiftA + shiftB)
+    out: x * (gateA + gateB)."""
+    p = _branch(p_ada, branch)
+    prefix = param_prefix or ("attn", "mlp")[emb_idx]
+    e = emb_slices[:, :, emb_idx, :]  # [B, D, 3]
+    shiftA = e[..., 0][:, None]  # [B, 1, D]
+    scaleA = e[..., 1][:, None]
+    gateA = e[..., 2][:, None]
+    dt = x.dtype
+    if mode == "in":
+        shiftB = p[f"{prefix}_shift"].astype(dt)
+        scaleB = p[f"{prefix}_scale"].astype(dt)
+        return x * (scaleA.astype(dt) + scaleB) + (shiftA.astype(dt) + shiftB)
+    gateB = p.get(f"{prefix}_gate")
+    g = gateA.astype(dt) if gateB is None else gateA.astype(dt) + gateB.astype(dt)
+    return x * g
+
+
+def _mlp(p_mlp: Params, branch: str, x: jnp.ndarray, cfg: DiTConfig) -> jnp.ndarray:
+    p = _branch(p_mlp, branch)
+    if cfg.mlp_type == "swiglu":
+        gate = _apply_linear(p["proj_in_gate"], x)
+        up = _apply_linear(p["proj_in"], x)
+        h = jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up
+        return _apply_linear(p["proj_out"], h)
+    h = _apply_linear(p["proj_in"], x)
+    h = jax.nn.gelu(h.astype(jnp.float32), approximate=True).astype(x.dtype)
+    return _apply_linear(p["proj_out"], h)
+
+
+def _window_attention(
+    p_attn: Params,
+    cfg: DiTConfig,
+    vid: jnp.ndarray,  # [B, L, D]
+    txt: jnp.ndarray,  # [B, Lt, D]
+    lp: LayerPlan,
+    has_txt_weights: bool,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    B, L, D = vid.shape
+    Lt = txt.shape[1]
+    H, hd = cfg.heads, cfg.head_dim
+    inner = cfg.inner_dim
+    plan = lp.plan
+    nW, mL = plan.n_win, plan.max_len
+
+    vid_qkv = _apply_linear(_branch(p_attn["qkv"], "vid"), vid)  # [B, L, 3*inner]
+    txt_qkv = _apply_linear(_branch(p_attn["qkv"], "txt"), txt)
+
+    # Window partition (static gather).
+    idx = jnp.asarray(plan.index.reshape(-1))  # [nW*mL]
+    vid_qkv_w = jnp.take(vid_qkv, idx, axis=1).reshape(B, nW, mL, 3, H, hd)
+    txt_qkv = txt_qkv.reshape(B, Lt, 3, H, hd)
+
+    vq, vk, vv = vid_qkv_w[:, :, :, 0], vid_qkv_w[:, :, :, 1], vid_qkv_w[:, :, :, 2]
+    tq, tk, tv = txt_qkv[:, :, 0], txt_qkv[:, :, 1], txt_qkv[:, :, 2]
+
+    if cfg.qk_norm:
+        vq = rms_norm(vq, _branch(p_attn["norm_q"], "vid")["w"], cfg.norm_eps)
+        vk = rms_norm(vk, _branch(p_attn["norm_k"], "vid")["w"], cfg.norm_eps)
+        tq = rms_norm(tq, _branch(p_attn["norm_q"], "txt")["w"], cfg.norm_eps)
+        tk = rms_norm(tk, _branch(p_attn["norm_k"], "txt")["w"], cfg.norm_eps)
+
+    # RoPE with window-local coordinates. Angles: [nW, mL, rot] -> broadcast
+    # over batch and heads ([B, nW, mL, H, hd] rotates last dim).
+    if lp.vid_angles is not None:
+        ang = jnp.asarray(lp.vid_angles)[None, :, :, None, :]  # [1,nW,mL,1,rot]
+        vq = apply_rotary(vq, ang)
+        vk = apply_rotary(vk, ang)
+    if lp.txt_angles is not None and Lt > 0:
+        tang = jnp.asarray(lp.txt_angles)[None, :, None, :]  # [1,Lt,1,rot]
+        tq = apply_rotary(tq, tang)
+        tk = apply_rotary(tk, tang)
+
+    # Append txt tokens to every window: [B, nW, mL+Lt, H, hd].
+    def with_txt(vw, tw):
+        tw = jnp.broadcast_to(tw[:, None], (B, nW, Lt, H, hd))
+        return jnp.concatenate([vw, tw], axis=2)
+
+    q = with_txt(vq, tq).reshape(B * nW, mL + Lt, H, hd)
+    k = with_txt(vk, tk).reshape(B * nW, mL + Lt, H, hd)
+    v = with_txt(vv, tv).reshape(B * nW, mL + Lt, H, hd)
+
+    valid = np.concatenate([plan.valid, np.ones((nW, Lt), bool)], axis=1)  # [nW, mL+Lt]
+    kv_valid = jnp.asarray(valid)
+    kv_valid = jnp.broadcast_to(kv_valid[None], (B, nW, mL + Lt)).reshape(B * nW, mL + Lt)
+
+    out = attention(q, k, v, kv_valid=kv_valid)  # [B*nW, mL+Lt, H, hd]
+    out = out.reshape(B, nW, mL + Lt, inner)
+
+    vid_out_w = out[:, :, :mL].reshape(B, nW * mL, inner)
+    # Scatter windows back to token order (exact partition -> pure gather).
+    inv = jnp.asarray(plan.inverse)
+    vid_out = jnp.take(vid_out_w, inv, axis=1)  # [B, L, inner]
+
+    # Text coalescing: average over windows (reference: na.py:396-417).
+    txt_out = jnp.mean(out[:, :, mL:].astype(jnp.float32), axis=1).astype(out.dtype)
+
+    vid_out = _apply_linear(_branch(p_attn["out"], "vid"), vid_out)
+    txt_out = _apply_linear(_branch(p_attn["out"], "txt"), txt_out)
+    return vid_out, txt_out
+
+
+def block_forward(
+    p: Params,
+    cfg: DiTConfig,
+    layer: int,
+    vid: jnp.ndarray,
+    txt: jnp.ndarray,
+    emb_slices: jnp.ndarray,
+    lp: LayerPlan,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One NaMMSRTransformerBlock (reference: dit_3b/nablocks/mmsr_block.py:84-128)."""
+    vid_only = cfg.vid_only(layer)
+
+    vid_a = rms_norm(vid, None, cfg.norm_eps)
+    txt_a = rms_norm(txt, None, cfg.norm_eps)
+    if not vid_only:
+        vid_a = _ada(p["ada"], "vid", vid_a, emb_slices, 0, "in")
+        txt_a = _ada(p["ada"], "txt", txt_a, emb_slices, 0, "in")
+    else:
+        vid_a = _ada(p["ada"], "vid", vid_a, emb_slices, 0, "in")
+    vid_a, txt_a = _window_attention(p["attn"], cfg, vid_a, txt_a, lp, True)
+    vid_a = _ada(p["ada"], "vid", vid_a, emb_slices, 0, "out")
+    if not vid_only:
+        txt_a = _ada(p["ada"], "txt", txt_a, emb_slices, 0, "out")
+    vid = vid + vid_a
+    txt = txt + txt_a
+
+    vid_m = rms_norm(vid, None, cfg.norm_eps)
+    vid_m = _ada(p["ada"], "vid", vid_m, emb_slices, 1, "in")
+    vid_m = _mlp(p["mlp"], "vid", vid_m, cfg)
+    vid_m = _ada(p["ada"], "vid", vid_m, emb_slices, 1, "out")
+    vid = vid + vid_m
+    if not vid_only:
+        txt_m = rms_norm(txt, None, cfg.norm_eps)
+        txt_m = _ada(p["ada"], "txt", txt_m, emb_slices, 1, "in")
+        txt_m = _mlp(p["mlp"], "txt", txt_m, cfg)
+        txt_m = _ada(p["ada"], "txt", txt_m, emb_slices, 1, "out")
+        txt = txt + txt_m
+    return vid, txt
+
+
+# --------------------------------------------------------------------------- #
+# Patchify / full forward
+# --------------------------------------------------------------------------- #
+
+
+def patchify(p: Params, cfg: DiTConfig, vid: jnp.ndarray) -> jnp.ndarray:
+    """[B, T, H, W, C] -> [B, T*(H/h)*(W/w), D]. Channel packing order matches
+    the reference's "(T t) (H h) (W w) c -> T H W (t h w c)"
+    (reference: dit_3b/patch/patch_v1.py:91)."""
+    pt, ph, pw = cfg.patch_size
+    assert pt == 1, "temporal patch > 1 not used by SeedVR2 checkpoints"
+    B, T, H, W, C = vid.shape
+    assert H % ph == 0 and W % pw == 0, (H, W, cfg.patch_size)
+    x = vid.reshape(B, T, H // ph, ph, W // pw, pw, C)
+    x = x.transpose(0, 1, 2, 4, 3, 5, 6)  # B T H' W' h w c
+    x = x.reshape(B, T * (H // ph) * (W // pw), ph * pw * C)
+    return _apply_linear(p, x)
+
+
+def unpatchify(p: Params, cfg: DiTConfig, vid: jnp.ndarray, thw: Tuple[int, int, int]) -> jnp.ndarray:
+    """[B, L, D] -> [B, T, H*h, W*w, C_out] (reference: patch_v1.py:100-127)."""
+    pt, ph, pw = cfg.patch_size
+    T, Hp, Wp = thw
+    B = vid.shape[0]
+    x = _apply_linear(p, vid)  # [B, L, h*w*C]
+    C = cfg.vid_out_channels
+    x = x.reshape(B, T, Hp, Wp, ph, pw, C)
+    x = x.transpose(0, 1, 2, 4, 3, 5, 6)
+    return x.reshape(B, T, Hp * ph, Wp * pw, C)
+
+
+def nadit_forward(
+    params: Params,
+    cfg: DiTConfig,
+    vid: jnp.ndarray,  # [B, T, H, W, vid_in_channels]
+    txt: jnp.ndarray,  # [B, Lt, txt_in_dim]
+    timestep: jnp.ndarray,  # [B]
+    plans: AttnPlans,
+) -> jnp.ndarray:
+    """Full NaDiT forward. Returns [B, T, H, W, vid_out_channels].
+
+    `plans` must be built with build_attn_plans(cfg, patched_thw, txt_len)
+    where patched_thw = (T, H // ph, W // pw).
+    """
+    B, T, H, W, _ = vid.shape
+    pt, ph, pw = cfg.patch_size
+    thw = (T, H // ph, W // pw)
+    assert plans.thw == thw, (plans.thw, thw)
+
+    x = patchify(params["vid_in"], cfg, vid)  # [B, L, D]
+    t_emb = txt @ params["txt_in"]["w"].astype(txt.dtype) + params["txt_in"]["b"].astype(txt.dtype)
+    emb = time_embedding(params["emb_in"], cfg, timestep, x.dtype)  # [B, 6D]
+    emb_slices = _ada_slices(emb, cfg.vid_dim)
+
+    for i, bp in enumerate(params["blocks"]):
+        x, t_emb = block_forward(bp, cfg, i, x, t_emb, emb_slices, plans.for_layer(i))
+
+    if cfg.vid_out_norm:
+        x = rms_norm(x, params["vid_out_norm"]["w"], cfg.norm_eps)
+        # Quirk: uses the attn-layer emb slice (see module docstring).
+        x = _ada(params["vid_out_ada"], "vid", x, emb_slices, 0, "in", param_prefix="out")
+
+    return unpatchify(params["vid_out"], cfg, x, thw)

@@ -1,0 +1,110 @@
+"""Temporally-causal 3D convolution with functional streaming state.
+
+The reference's ``InflatedCausalConv3d`` holds a per-module ``self.memory``
+tensor and a MemoryState enum threading DISABLED/INITIALIZING/ACTIVE through
+every forward (reference: src/models/video_vae_v3/modules/
+causal_inflation_lib.py:62-305). That mutable-module design cannot live
+under jit; here the carry is explicit:
+
+- first slice (or non-streaming): the head is extended by replicating the
+  first frame ``2 * temporal_pad`` times (reference: extend_head,
+  causal_inflation_lib.py:422-437);
+- streaming: the carry (last ``k_t - stride_t`` frames of the *extended*
+  input) is concatenated instead (reference: basic_forward :229-248).
+
+State is a dict path -> array collected by ``StreamCtx`` so encode/decode
+are pure functions of (params, x, state). The reference's recursive spatial
+splitting under a memory budget (:115-211) is unnecessary on TPU — XLA
+schedules the convolution in tiles; spatial *tiling* for quality parity
+lives in models/vae/tiling.py.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+State = Dict[str, jnp.ndarray]
+
+
+class StreamCtx:
+    """Threads streaming-conv state through a (traced) VAE forward.
+
+    mode: "disabled" (single shot), "init" (first temporal slice),
+    "active" (subsequent slices, consume carries from in_state).
+    """
+
+    def __init__(self, mode: str = "disabled", in_state: Optional[State] = None):
+        assert mode in ("disabled", "init", "active")
+        self.mode = mode
+        self.in_state = in_state or {}
+        self.out_state: State = {}
+        self._path = []
+
+    def scope(self, name: str):
+        ctx = self
+
+        class _Scope:
+            def __enter__(self_inner):
+                ctx._path.append(name)
+
+            def __exit__(self_inner, *a):
+                ctx._path.pop()
+
+        return _Scope()
+
+    @property
+    def path(self) -> str:
+        return "/".join(self._path)
+
+    def get(self, leaf: str) -> Optional[jnp.ndarray]:
+        return self.in_state.get(f"{self.path}/{leaf}")
+
+    def put(self, leaf: str, value: jnp.ndarray) -> None:
+        self.out_state[f"{self.path}/{leaf}"] = value
+
+
+def causal_conv3d(
+    p: Dict[str, jnp.ndarray],
+    x: jnp.ndarray,  # [B, T, H, W, C]
+    ctx: StreamCtx,
+    name: str,
+    stride: Tuple[int, int, int] = (1, 1, 1),
+    spatial_pad: Tuple[Tuple[int, int], Tuple[int, int]] = ((1, 1), (1, 1)),
+    temporal_pad: Optional[int] = None,
+) -> jnp.ndarray:
+    """w: [kt, kh, kw, Cin, Cout] (DHWIO); b: [Cout].
+
+    temporal_pad defaults to (kt - 1) // 2 like torch Conv3d padding=k//2.
+    """
+    w = p["w"]
+    kt = w.shape[0]
+    if temporal_pad is None:
+        temporal_pad = (kt - 1) // 2
+
+    with ctx.scope(name):
+        mem = ctx.get("mem") if ctx.mode == "active" else None
+        if mem is not None:
+            x_ext = jnp.concatenate([mem.astype(x.dtype), x], axis=1)
+        elif temporal_pad > 0:
+            head = jnp.repeat(x[:, :1], 2 * temporal_pad, axis=1)
+            x_ext = jnp.concatenate([head, x], axis=1)
+        else:
+            x_ext = x
+        cache = kt - stride[0]
+        if cache > 0 and ctx.mode != "disabled":
+            ctx.put("mem", x_ext[:, -cache:])
+
+    y = jax.lax.conv_general_dilated(
+        x_ext,
+        w.astype(x.dtype),
+        window_strides=stride,
+        padding=[(0, 0), spatial_pad[0], spatial_pad[1]],
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    if "b" in p:
+        y = y + p["b"].astype(y.dtype)
+    return y

@@ -1,0 +1,241 @@
+"""Temporal slicing and spatial tiling drivers for the VAE.
+
+Mirrors the reference's memory-bounded execution strategies
+(reference: src/models/video_vae_v3/modules/attn_video_vae.py:1254-1630):
+
+- slicing_encode/decode: split time into (1 + k*split) slices; the first
+  slice runs in "init" mode, the rest in "active" mode consuming the
+  streaming conv state — numerically identical to a single full pass.
+- tiled_encode/decode: spatial tiles with separable cosine-ramp blending on
+  interior edges only, accumulated into sum/weight buffers.
+
+On TPU these also serve a second purpose: each slice/tile is a fixed-shape
+jit invocation, so one compiled executable serves arbitrarily long videos.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...config import VAEConfig
+from .causal_conv import StreamCtx
+from .model import decoder_forward, encoder_forward, posterior_mode
+
+
+# --------------------------------------------------------------------------- #
+# Temporal slicing
+# --------------------------------------------------------------------------- #
+
+
+def _temporal_slices(T: int, first: int, rest: int):
+    """Slice boundaries: first frame + chunks (reference:
+    attn_video_vae.py:1256-1263 — x[:, :, :1+rest] then chunks of rest)."""
+    bounds = [(0, min(1 + rest, T))]
+    s = 1 + rest
+    while s < T:
+        bounds.append((s, min(s + rest, T)))
+        s += rest
+    return bounds
+
+
+@partial(jax.jit, static_argnames=("cfg", "mode"))
+def _encode_slice(params, cfg: VAEConfig, x, state, mode: str):
+    ctx = StreamCtx(mode, state)
+    out = encoder_forward(params, cfg, x, ctx)
+    return out, ctx.out_state
+
+
+@partial(jax.jit, static_argnames=("cfg", "mode"))
+def _decode_slice(params, cfg: VAEConfig, z, state, mode: str):
+    ctx = StreamCtx(mode, state)
+    out = decoder_forward(params, cfg, z, ctx)
+    return out, ctx.out_state
+
+
+def slicing_encode(params, cfg: VAEConfig, x: jnp.ndarray) -> jnp.ndarray:
+    """x: [B, T, H, W, 3] (T = 4n+1) -> moments [B, n+1, H/8, W/8, 2C]."""
+    T = x.shape[1]
+    split = cfg.slicing_sample_min_size
+    if (T - 1) <= split:
+        return _encode_slice(params, cfg, x, {}, "disabled")[0]
+    outs = []
+    state = {}
+    for i, (s, e) in enumerate(_temporal_slices(T, 1, split)):
+        out, state = _encode_slice(params, cfg, x[:, s:e], state, "init" if i == 0 else "active")
+        outs.append(out)
+    return jnp.concatenate(outs, axis=1)
+
+
+def slicing_decode(params, cfg: VAEConfig, z: jnp.ndarray) -> jnp.ndarray:
+    """z: [B, T', H', W', C] -> [B, 4(T'-1)+1, 8H', 8W', 3]."""
+    T = z.shape[1]
+    split = cfg.slicing_latent_min_size
+    if (T - 1) <= split:
+        return _decode_slice(params, cfg, z, {}, "disabled")[0]
+    outs = []
+    state = {}
+    for i, (s, e) in enumerate(_temporal_slices(T, 1, split)):
+        out, state = _decode_slice(params, cfg, z[:, s:e], state, "init" if i == 0 else "active")
+        outs.append(out)
+    return jnp.concatenate(outs, axis=1)
+
+
+# --------------------------------------------------------------------------- #
+# Spatial tiling
+# --------------------------------------------------------------------------- #
+
+
+def _cosine_ramp(n: int) -> np.ndarray:
+    t = np.linspace(0.0, 1.0, n, dtype=np.float32)
+    return 0.5 - 0.5 * np.cos(t * np.pi)
+
+
+def _tile_grid(total: int, tile: int, overlap: int):
+    """Tile start/end positions with skip rule for degenerate tiles
+    (reference: attn_video_vae.py:1363-1371)."""
+    stride = max(1, tile - overlap)
+    out = []
+    for s in range(0, total, stride):
+        e = min(s + tile, total)
+        if s > 0 and (e - s) <= overlap:
+            continue
+        out.append((s, e))
+    return out
+
+
+def _edge_weights(n: int, ov: int, at_start_edge: bool, at_end_edge: bool) -> np.ndarray:
+    w = np.ones(n, dtype=np.float32)
+    ov = max(0, min(ov, n - 1))
+    if ov > 0:
+        ramp = _cosine_ramp(ov)
+        if not at_start_edge:
+            w[:ov] = ramp
+        if not at_end_edge:
+            w[-ov:] = 1.0 - ramp
+    return w
+
+
+def tiled_encode(
+    params,
+    cfg: VAEConfig,
+    x: jnp.ndarray,
+    tile_size: Tuple[int, int] = (512, 512),
+    tile_overlap: Tuple[int, int] = (64, 64),
+) -> jnp.ndarray:
+    """Spatial tiling in latent-space coordinates (reference:
+    attn_video_vae.py:1302-1468). Tile/overlap are pixel-space values."""
+    B, T, H, W, _ = x.shape
+    sf = cfg.spatial_downsample_factor
+    lt_h, lt_w = max(1, tile_size[0] // sf), max(1, tile_size[1] // sf)
+    lo_h = max(0, min(tile_overlap[0] // sf, lt_h - 1))
+    lo_w = max(0, min(tile_overlap[1] // sf, lt_w - 1))
+    H_lat, W_lat = math.ceil(H / sf), math.ceil(W / sf)
+    if H <= tile_size[0] and W <= tile_size[1]:
+        return slicing_encode(params, cfg, x)
+
+    result = None
+    count = None
+    rows = _tile_grid(H_lat, lt_h, lo_h)
+    cols = _tile_grid(W_lat, lt_w, lo_w)
+    for (y0, y1) in rows:
+        for (x0, x1) in cols:
+            py0, py1 = y0 * sf, min(y1 * sf, H)
+            px0, px1 = x0 * sf, min(x1 * sf, W)
+            enc = slicing_encode(params, cfg, x[:, :, py0:py1, px0:px1])
+            if result is None:
+                result = jnp.zeros((B, enc.shape[1], H_lat, W_lat, enc.shape[-1]), jnp.float32)
+                count = jnp.zeros((1, 1, H_lat, W_lat, 1), jnp.float32)
+            eh = min(y1 - y0, enc.shape[2], H_lat - y0)
+            ew = min(x1 - x0, enc.shape[3], W_lat - x0)
+            enc = enc[:, : result.shape[1], :eh, :ew].astype(jnp.float32)
+            wh = _edge_weights(eh, min(lo_h, eh - 1), y0 == 0, y1 >= H_lat)
+            ww = _edge_weights(ew, min(lo_w, ew - 1), x0 == 0, x1 >= W_lat)
+            w2 = jnp.asarray(np.outer(wh, ww))[None, None, :, :, None]
+            result = result.at[:, :, y0 : y0 + eh, x0 : x0 + ew].add(enc * w2)
+            count = count.at[:, :, y0 : y0 + eh, x0 : x0 + ew].add(w2)
+    return (result / jnp.clip(count, 1e-6)).astype(x.dtype)
+
+
+def tiled_decode(
+    params,
+    cfg: VAEConfig,
+    z: jnp.ndarray,
+    tile_size: Tuple[int, int] = (512, 512),
+    tile_overlap: Tuple[int, int] = (64, 64),
+) -> jnp.ndarray:
+    """Reference: attn_video_vae.py:1470-1630. Blending ramps are applied in
+    *pixel* space on decode."""
+    B, T, H, W, _ = z.shape
+    sf = cfg.spatial_downsample_factor
+    lt_h, lt_w = max(1, tile_size[0] // sf), max(1, tile_size[1] // sf)
+    if H <= lt_h and W <= lt_w:
+        return slicing_decode(params, cfg, z)
+    ov_h, ov_w = tile_overlap
+    lo_h = max(0, min(ov_h // sf, lt_h - 1))
+    lo_w = max(0, min(ov_w // sf, lt_w - 1))
+
+    result = None
+    count = None
+    rows = _tile_grid(H, lt_h, lo_h)
+    cols = _tile_grid(W, lt_w, lo_w)
+    for (y0, y1) in rows:
+        for (x0, x1) in cols:
+            dec = slicing_decode(params, cfg, z[:, :, y0:y1, x0:x1])
+            if result is None:
+                result = jnp.zeros((B, dec.shape[1], H * sf, W * sf, dec.shape[-1]), jnp.float32)
+                count = jnp.zeros((1, 1, H * sf, W * sf, 1), jnp.float32)
+            hy0, hy1 = y0 * sf, y1 * sf
+            hx0, hx1 = x0 * sf, x1 * sf
+            wh = _edge_weights(hy1 - hy0, min(ov_h, hy1 - hy0 - 1), y0 == 0, y1 >= H)
+            ww = _edge_weights(hx1 - hx0, min(ov_w, hx1 - hx0 - 1), x0 == 0, x1 >= W)
+            w2 = jnp.asarray(np.outer(wh, ww))[None, None, :, :, None]
+            result = result.at[:, : dec.shape[1], hy0:hy1, hx0:hx1].add(dec.astype(jnp.float32) * w2)
+            count = count.at[:, :, hy0:hy1, hx0:hx1].add(w2)
+    return (result / jnp.clip(count, 1e-6)).astype(z.dtype)
+
+
+# --------------------------------------------------------------------------- #
+# Top-level encode/decode with scale/shift (runner-facing)
+# --------------------------------------------------------------------------- #
+
+
+def vae_encode(
+    params,
+    cfg: VAEConfig,
+    video: jnp.ndarray,  # [B, T, H, W, 3] in [-1, 1], T = 4n+1
+    tiled: bool = False,
+    tile_size: Tuple[int, int] = (512, 512),
+    tile_overlap: Tuple[int, int] = (64, 64),
+) -> jnp.ndarray:
+    """Returns scaled latent [B, T', H/8, W/8, C]: (mode(z) - shift) * scale
+    (reference: src/core/infer.py:186-189; deterministic posterior mode per
+    attn_video_vae.py:1688)."""
+    moments = (
+        tiled_encode(params, cfg, video, tile_size, tile_overlap)
+        if tiled
+        else slicing_encode(params, cfg, video)
+    )
+    z = posterior_mode(moments)
+    return (z - cfg.shifting_factor) * cfg.scaling_factor
+
+
+def vae_decode(
+    params,
+    cfg: VAEConfig,
+    latent: jnp.ndarray,  # [B, T', H', W', C] scaled
+    tiled: bool = False,
+    tile_size: Tuple[int, int] = (512, 512),
+    tile_overlap: Tuple[int, int] = (64, 64),
+) -> jnp.ndarray:
+    z = latent / cfg.scaling_factor + cfg.shifting_factor
+    return (
+        tiled_decode(params, cfg, z, tile_size, tile_overlap)
+        if tiled
+        else slicing_decode(params, cfg, z)
+    )

@@ -1,0 +1,80 @@
+"""Attention for TPU: XLA reference implementation + Pallas fast path.
+
+The reference dispatches between flash-attn 2/3, SageAttention and a looped
+SDPA fallback over varlen sequences (reference: src/models/dit_3b/attention.py
+:27-148, src/optimization/compatibility.py:286-545). On TPU there is one
+fused Pallas flash-attention kernel (ops/flash_attention.py) and this XLA
+reference path; both consume *dense* [B, S, H, D] tensors with an optional
+key-validity mask — varlen window packing is replaced by static padding, so
+the MXU always sees uniform tiles.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+_BACKEND = "xla"  # "xla" | "pallas"
+
+
+def set_attention_backend(name: str) -> None:
+    """Retained API-parity knob for the reference's ``attention_mode``
+    (sdpa/flash_attn_*/sageattn_* all map onto xla or pallas here)."""
+    global _BACKEND
+    alias = {
+        "sdpa": "xla",
+        "xla": "xla",
+        "flash_attn_2": "pallas",
+        "flash_attn_3": "pallas",
+        "sageattn_2": "pallas",
+        "sageattn_3": "pallas",
+        "pallas": "pallas",
+    }
+    if name not in alias:
+        raise ValueError(f"Unknown attention backend: {name}")
+    _BACKEND = alias[name]
+
+
+def get_attention_backend() -> str:
+    return _BACKEND
+
+
+def attention_xla(
+    q: jnp.ndarray,  # [B, Sq, H, D]
+    k: jnp.ndarray,  # [B, Sk, H, D]
+    v: jnp.ndarray,  # [B, Sk, H, D]
+    kv_valid: Optional[jnp.ndarray] = None,  # [B, Sk] bool
+    q_valid: Optional[jnp.ndarray] = None,  # [B, Sq] bool (zeroes padded rows)
+) -> jnp.ndarray:
+    """Reference attention: bf16 QK^T on the MXU, float32 softmax."""
+    d = q.shape[-1]
+    scale = 1.0 / (d**0.5)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    logits = logits * scale
+    if kv_valid is not None:
+        neg = jnp.asarray(-1e30, logits.dtype)
+        logits = jnp.where(kv_valid[:, None, None, :], logits, neg)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v)
+    if q_valid is not None:
+        out = out * q_valid[:, None, None].astype(out.dtype).transpose(0, 2, 1)[..., None]
+    return out
+
+
+def attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    kv_valid: Optional[jnp.ndarray] = None,
+    q_valid: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    if _BACKEND == "pallas":
+        from .flash_attention import flash_attention
+
+        try:
+            return flash_attention(q, k, v, kv_valid=kv_valid, q_valid=q_valid)
+        except Exception:  # fall back if shapes unsupported by the kernel
+            pass
+    return attention_xla(q, k, v, kv_valid=kv_valid, q_valid=q_valid)
