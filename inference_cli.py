@@ -1,0 +1,222 @@
+#!/usr/bin/env python3
+"""SeedVR2-TPU command-line upscaler.
+
+Argv-compatible with the reference CLI (reference: inference_cli.py:
+1295-1487) where the flag has a TPU meaning; CUDA-only flags (BlockSwap,
+torch.compile knobs, offload devices) are accepted and ignored with a note,
+so existing reference invocations keep working:
+
+    python inference_cli.py video.mp4 --resolution 1080 --batch_size 5
+
+Multi-chip: instead of the reference's one-process-per-GPU fan-out
+(inference_cli.py:1127-1288), all local TPU chips form one mesh and batches
+are sharded over the "data" axis; temporal-overlap blending is unchanged.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from typing import List, Optional
+
+import numpy as np
+
+
+def parse_arguments(argv: Optional[List[str]] = None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(description="SeedVR2 TPU video/image upscaler")
+    p.add_argument("input", type=str, help="video file, image file, or directory")
+    p.add_argument("--output", type=str, default=None)
+    p.add_argument("--output_format", type=str, default="video", choices=["video", "png"])
+    p.add_argument("--resolution", type=int, default=1080)
+    p.add_argument("--max_resolution", type=int, default=0)
+    p.add_argument("--batch_size", type=int, default=5)
+    p.add_argument("--uniform_batch_size", action="store_true")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--model_dir", type=str, default="./models")
+    p.add_argument("--dit_model", type=str, default=None)
+    p.add_argument("--vae_model", type=str, default="ema_vae_fp16.safetensors")
+    p.add_argument("--chunk_size", type=int, default=0, help="streaming chunk frames (0 = whole video)")
+    p.add_argument("--temporal_overlap", type=int, default=0)
+    p.add_argument("--prepend_frames", type=int, default=0)
+    p.add_argument("--skip_first_frames", type=int, default=0)
+    p.add_argument("--load_cap", type=int, default=0)
+    p.add_argument(
+        "--color_correction",
+        type=str,
+        default="wavelet",
+        choices=["wavelet", "lab", "hsv", "wavelet_adaptive", "adain", "none"],
+    )
+    p.add_argument("--input_noise_scale", type=float, default=0.0)
+    p.add_argument("--latent_noise_scale", type=float, default=0.0)
+    p.add_argument("--vae_encode_tiled", action="store_true")
+    p.add_argument("--vae_encode_tile_size", type=int, nargs=2, default=[512, 512])
+    p.add_argument("--vae_encode_tile_overlap", type=int, nargs=2, default=[64, 64])
+    p.add_argument("--vae_decode_tiled", action="store_true")
+    p.add_argument("--vae_decode_tile_size", type=int, nargs=2, default=[512, 512])
+    p.add_argument("--vae_decode_tile_overlap", type=int, nargs=2, default=[64, 64])
+    p.add_argument("--attention_mode", type=str, default="pallas",
+                   choices=["pallas", "xla", "sdpa", "flash_attn_2", "flash_attn_3", "sageattn_2", "sageattn_3"])
+    p.add_argument("--debug", action="store_true")
+    p.add_argument("--fps", type=float, default=0.0, help="override output fps")
+    # mesh layout
+    p.add_argument("--mesh", type=str, default="auto", help="auto or 'data,seq,tensor' e.g. 2,2,2")
+    # Reference CUDA-only flags: accepted, ignored (BlockSwap/compile/offload
+    # are replaced by GSPMD sharding + jax.jit on TPU).
+    for flag in [
+        "--blocks_to_swap", "--swap_io_components", "--cuda_device",
+        "--dit_offload_device", "--vae_offload_device", "--tensor_offload_device",
+        "--compile_dit", "--compile_vae", "--compile_mode", "--compile_backend",
+        "--compile_fullgraph", "--compile_dynamic", "--compile_dynamo_cache_size_limit",
+        "--compile_dynamo_recompile_limit", "--cache_dit", "--cache_vae",
+        "--video_backend", "--tile_debug",
+    ]:
+        p.add_argument(flag, nargs="?", default=None, help=argparse.SUPPRESS)
+    return p.parse_args(argv)
+
+
+def build_runner(args):
+    import jax
+
+    from seedvr2_tpu.config import PipelineConfig, dit_3b, dit_7b, vae_config
+    from seedvr2_tpu.io import registry, weights
+    from seedvr2_tpu.io.registry import DEFAULT_DIT
+    from seedvr2_tpu.models.dit.nadit import init_params as init_dit
+    from seedvr2_tpu.models.vae.model import init_vae_params
+    from seedvr2_tpu.ops.attention import set_attention_backend
+    from seedvr2_tpu.pipeline.runner import Runner
+    from seedvr2_tpu.utils.debug import Debug
+
+    debug = Debug(enabled=args.debug)
+    debug.environment_report()
+    set_attention_backend(args.attention_mode)
+
+    dit_name = args.dit_model or DEFAULT_DIT
+    variant = registry.model_variant(dit_name)
+    dit_cfg = dit_7b() if variant == "7b" else dit_3b()
+    cfg = PipelineConfig(
+        dit=dit_cfg,
+        vae=vae_config(),
+        resolution=args.resolution,
+        max_resolution=args.max_resolution,
+        batch_size=args.batch_size,
+        uniform_batch_size=args.uniform_batch_size,
+        temporal_overlap=args.temporal_overlap,
+        prepend_frames=args.prepend_frames,
+        seed=args.seed,
+        input_noise_scale=args.input_noise_scale,
+        latent_noise_scale=args.latent_noise_scale,
+        color_correction=args.color_correction,
+        encode_tiled=args.vae_encode_tiled,
+        encode_tile_size=tuple(args.vae_encode_tile_size),
+        encode_tile_overlap=tuple(args.vae_encode_tile_overlap),
+        decode_tiled=args.vae_decode_tiled,
+        decode_tile_size=tuple(args.vae_decode_tile_size),
+        decode_tile_overlap=tuple(args.vae_decode_tile_overlap),
+    )
+
+    import jax.numpy as jnp
+
+    dtype = jnp.bfloat16
+    dit_path = os.path.join(args.model_dir, dit_name)
+    vae_path = os.path.join(args.model_dir, args.vae_model)
+    template_dit = jax.eval_shape(lambda k: init_dit(cfg.dit, k, dtype), jax.random.PRNGKey(0))
+    template_vae = jax.eval_shape(lambda k: init_vae_params(cfg.vae, k, dtype), jax.random.PRNGKey(0))
+
+    if os.path.exists(dit_path):
+        debug.log(f"Loading DiT weights: {dit_path}", category="dit", force=True)
+        dit_params = weights.load_dit_params(dit_path, cfg.dit, template_dit, np.float32)
+        dit_params = jax.tree.map(lambda x: jnp.asarray(x, dtype), dit_params)
+    else:
+        registry.download_model(dit_name, args.model_dir)
+        dit_params = weights.load_dit_params(dit_path, cfg.dit, template_dit, np.float32)
+        dit_params = jax.tree.map(lambda x: jnp.asarray(x, dtype), dit_params)
+
+    if not os.path.exists(vae_path):
+        registry.download_model(args.vae_model, args.model_dir)
+    debug.log(f"Loading VAE weights: {vae_path}", category="vae", force=True)
+    vae_params = weights.load_vae_params(vae_path, cfg.vae, template_vae, np.float32)
+    vae_params = jax.tree.map(lambda x: jnp.asarray(x, dtype), vae_params)
+
+    emb_dir = os.path.dirname(os.path.abspath(__file__))
+    pos, neg = weights.load_text_embeddings(emb_dir)
+    return Runner(cfg, dit_params, vae_params, pos, neg, debug=debug), cfg, debug
+
+
+def process_frames(runner, cfg, frames: np.ndarray, debug):
+    from seedvr2_tpu.pipeline import phases
+
+    return phases.generate(runner, frames, cfg, debug)
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = parse_arguments(argv)
+    from seedvr2_tpu.io import video as vio
+
+    runner, cfg, debug = build_runner(args)
+    kind = vio.input_type(args.input)
+    t0 = time.time()
+    n_frames = 0
+
+    if kind == "image":
+        img = vio.read_image(args.input)
+        out = process_frames(runner, cfg, img[None], debug)
+        out_path = args.output or _default_out(args.input, "png")
+        vio.write_image(out_path, out[0])
+        n_frames = 1
+        print(f"Saved {out_path}")
+    elif kind == "video":
+        reader = vio.VideoReader(args.input)
+        if args.skip_first_frames:
+            reader.seek(args.skip_first_frames)
+        fps = args.fps or reader.fps
+        out_path = args.output or _default_out(args.input, "mp4")
+        writer = None
+        chunk = args.chunk_size or (args.load_cap or reader.total_frames)
+        for frames in reader.chunks(chunk, args.temporal_overlap if args.chunk_size else 0):
+            if args.load_cap and n_frames >= args.load_cap:
+                break
+            out = process_frames(runner, cfg, frames, debug)
+            if args.output_format == "png":
+                vio.write_png_sequence(os.path.splitext(out_path)[0], out, start_index=n_frames)
+            else:
+                if writer is None:
+                    writer = vio.FFmpegWriter(
+                        out_path, out.shape[2], out.shape[1], fps, audio_source=args.input
+                    )
+                writer.write(out[..., :3])
+            n_frames += len(frames)
+            if not args.chunk_size:
+                break
+        if writer is not None:
+            writer.close()
+        reader.close()
+        print(f"Saved {out_path}")
+    else:  # directory
+        files = sorted(
+            f for f in os.listdir(args.input)
+            if os.path.splitext(f)[1].lower() in vio.IMAGE_EXTS
+        )
+        out_dir = args.output or (args.input.rstrip("/") + "_upscaled")
+        os.makedirs(out_dir, exist_ok=True)
+        for f in files:
+            img = vio.read_image(os.path.join(args.input, f))
+            out = process_frames(runner, cfg, img[None], debug)
+            vio.write_image(os.path.join(out_dir, f), out[0])
+            n_frames += 1
+        print(f"Saved {n_frames} images to {out_dir}")
+
+    dt = time.time() - t0
+    if n_frames:
+        print(f"Processed {n_frames} frames in {dt:.1f}s ({n_frames / dt:.2f} fps)")
+    return 0
+
+
+def _default_out(path: str, ext: str) -> str:
+    base, _ = os.path.splitext(path)
+    return f"{base}_upscaled.{ext}"
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,167 @@
+"""Host-side video / image I/O.
+
+Mirrors the reference CLI's I/O layer (reference: inference_cli.py:142-209
+FFMPEGVideoWriter 10-bit x265, :469-824 cv2 capture + PNG writer,
+:621-719 streaming chunk generator). Decode/encode stay on host CPU — the
+TPU only sees float arrays.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+from typing import Generator, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+VIDEO_EXTS = {".mp4", ".avi", ".mov", ".mkv", ".webm", ".m4v", ".flv", ".wmv", ".gif"}
+IMAGE_EXTS = {".png", ".jpg", ".jpeg", ".bmp", ".tiff", ".tif", ".webp"}
+
+
+def input_type(path: str) -> str:
+    """'video' | 'image' | 'directory' (reference: get_input_type,
+    inference_cli.py:346-373)."""
+    if os.path.isdir(path):
+        return "directory"
+    ext = os.path.splitext(path)[1].lower()
+    if ext in VIDEO_EXTS:
+        return "video"
+    if ext in IMAGE_EXTS:
+        return "image"
+    raise ValueError(f"Unsupported input: {path}")
+
+
+def read_image(path: str) -> np.ndarray:
+    """[H, W, 3|4] float32 in [0, 1], RGB(A)."""
+    import cv2
+
+    img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+    if img is None:
+        raise FileNotFoundError(path)
+    if img.ndim == 2:
+        img = cv2.cvtColor(img, cv2.COLOR_GRAY2BGR)
+    if img.shape[2] == 4:
+        img = cv2.cvtColor(img, cv2.COLOR_BGRA2RGBA)
+    else:
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+    maxv = 65535.0 if img.dtype == np.uint16 else 255.0
+    return img.astype(np.float32) / maxv
+
+
+def write_image(path: str, frame01: np.ndarray) -> None:
+    import cv2
+
+    img = (np.clip(frame01, 0, 1) * 255.0).round().astype(np.uint8)
+    if img.shape[2] == 4:
+        img = cv2.cvtColor(img, cv2.COLOR_RGBA2BGRA)
+    else:
+        img = cv2.cvtColor(img, cv2.COLOR_RGB2BGR)
+    cv2.imwrite(path, img)
+
+
+class VideoReader:
+    def __init__(self, path: str):
+        import cv2
+
+        self.cap = cv2.VideoCapture(path)
+        if not self.cap.isOpened():
+            raise FileNotFoundError(path)
+        self.fps = self.cap.get(cv2.CAP_PROP_FPS) or 30.0
+        self.total_frames = int(self.cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        self.width = int(self.cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+        self.height = int(self.cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+
+    def seek(self, frame_idx: int) -> None:
+        import cv2
+
+        self.cap.set(cv2.CAP_PROP_POS_FRAMES, frame_idx)
+
+    def read(self, n: Optional[int] = None) -> np.ndarray:
+        """Read up to n frames -> [T, H, W, 3] float32 [0,1] RGB."""
+        import cv2
+
+        frames = []
+        while n is None or len(frames) < n:
+            ok, frame = self.cap.read()
+            if not ok:
+                break
+            frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+        if not frames:
+            return np.zeros((0, self.height, self.width, 3), np.float32)
+        return np.stack(frames).astype(np.float32) / 255.0
+
+    def chunks(self, chunk_size: int, overlap: int = 0) -> Iterator[np.ndarray]:
+        """Streaming chunk generator with overlap carry (reference:
+        _stream_video_chunks, inference_cli.py:621-719)."""
+        carry: Optional[np.ndarray] = None
+        while True:
+            need = chunk_size - (len(carry) if carry is not None else 0)
+            fresh = self.read(need)
+            if carry is not None and len(carry) > 0:
+                chunk = np.concatenate([carry, fresh], axis=0) if len(fresh) else carry
+            else:
+                chunk = fresh
+            if len(chunk) == 0:
+                return
+            yield chunk
+            if len(fresh) < need:
+                return
+            carry = chunk[-overlap:].copy() if overlap > 0 else None
+
+    def close(self):
+        self.cap.release()
+
+
+class FFmpegWriter:
+    """10-bit x265 encode via ffmpeg subprocess (reference:
+    FFMPEGVideoWriter, inference_cli.py:142-209)."""
+
+    def __init__(
+        self,
+        path: str,
+        width: int,
+        height: int,
+        fps: float,
+        codec: str = "libx265",
+        crf: int = 16,
+        bit10: bool = True,
+        audio_source: Optional[str] = None,
+    ):
+        pix_in = "rgb48le" if bit10 else "rgb24"
+        pix_out = "yuv420p10le" if bit10 else "yuv420p"
+        self.bit10 = bit10
+        cmd = [
+            "ffmpeg", "-y", "-loglevel", "error",
+            "-f", "rawvideo", "-pix_fmt", pix_in,
+            "-s", f"{width}x{height}", "-r", f"{fps}",
+            "-i", "-",
+        ]
+        if audio_source:
+            cmd += ["-i", audio_source, "-map", "0:v", "-map", "1:a?", "-c:a", "copy"]
+        cmd += ["-c:v", codec, "-crf", str(crf), "-pix_fmt", pix_out, path]
+        self.proc = subprocess.Popen(cmd, stdin=subprocess.PIPE)
+
+    def write(self, frames01: np.ndarray) -> None:
+        """frames01: [T, H, W, 3] float in [0, 1]."""
+        if self.bit10:
+            data = (np.clip(frames01, 0, 1) * 65535.0).round().astype("<u2")
+        else:
+            data = (np.clip(frames01, 0, 1) * 255.0).round().astype(np.uint8)
+        try:
+            self.proc.stdin.write(data.tobytes())
+        except BrokenPipeError as e:
+            raise RuntimeError("ffmpeg pipe closed (encode error)") from e
+
+    def close(self) -> None:
+        if self.proc.stdin:
+            self.proc.stdin.close()
+        ret = self.proc.wait()
+        if ret != 0:
+            raise RuntimeError(f"ffmpeg exited with {ret}")
+
+
+def write_png_sequence(directory: str, frames01: np.ndarray, start_index: int = 0, prefix: str = "frame") -> None:
+    """reference: save_frames_to_image, inference_cli.py:786-824."""
+    os.makedirs(directory, exist_ok=True)
+    for i, f in enumerate(frames01):
+        write_image(os.path.join(directory, f"{prefix}_{start_index + i:06d}.png"), f)

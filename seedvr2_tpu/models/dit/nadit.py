@@ -40,6 +40,7 @@ from ...config import DiTConfig
 from ...ops.attention import attention
 from ...ops.normalization import rms_norm
 from ...ops.rope import apply_rotary, axial_freqs_lang, axial_freqs_pixel
+from ...parallel.sp import constrain_attn_io, constrain_tokens, constrain_windows
 from .windows import WindowPlan, window_plan
 
 Params = Dict
@@ -199,9 +200,18 @@ def init_params(cfg: DiTConfig, key: jax.Array, dtype=jnp.float32) -> Params:
                     "proj_out": _linear(k2, D * cfg.expand_ratio, D, dtype),
                 }
 
+        def make_qkv(k):
+            # stored [D, 3, inner] so the head dim shards cleanly on the
+            # "tensor" mesh axis (parallel/sharding.py)
+            p = _linear(k, D, 3 * inner, dtype, bias=cfg.qk_bias)
+            p["w"] = p["w"].reshape(D, 3, inner)
+            if "b" in p:
+                p["b"] = p["b"].reshape(3, inner)
+            return p
+
         block = {
             "attn": {
-                "qkv": _mm(bk[0], lambda k: _linear(k, D, 3 * inner, dtype, bias=cfg.qk_bias), shared, False),
+                "qkv": _mm(bk[0], make_qkv, shared, False),
                 "out": _mm(bk[1], lambda k: _linear(k, inner, D, dtype), shared, False),
                 "norm_q": _mm(bk[2], lambda k: {"w": jnp.ones((cfg.head_dim,), dtype)}, shared, False),
                 "norm_k": _mm(bk[3], lambda k: {"w": jnp.ones((cfg.head_dim,), dtype)}, shared, False),
@@ -313,13 +323,23 @@ def _window_attention(
     plan = lp.plan
     nW, mL = plan.n_win, plan.max_len
 
-    vid_qkv = _apply_linear(_branch(p_attn["qkv"], "vid"), vid)  # [B, L, 3*inner]
-    txt_qkv = _apply_linear(_branch(p_attn["qkv"], "txt"), txt)
+    def qkv_proj(pq, x):
+        w = pq["w"].astype(x.dtype)  # [D, 3, inner]
+        y = jnp.einsum("bld,dox->blox", x, w)
+        if "b" in pq:
+            y = y + pq["b"].astype(x.dtype)
+        return y  # [B, L, 3, inner]
 
-    # Window partition (static gather).
+    vid_qkv = qkv_proj(_branch(p_attn["qkv"], "vid"), vid)
+    txt_qkv = qkv_proj(_branch(p_attn["qkv"], "txt"), txt)
+
+    # Window partition (static gather). Under SP this gather is where GSPMD
+    # inserts the seq<->window all-to-all.
     idx = jnp.asarray(plan.index.reshape(-1))  # [nW*mL]
     vid_qkv_w = jnp.take(vid_qkv, idx, axis=1).reshape(B, nW, mL, 3, H, hd)
+    vid_qkv_w = constrain_windows(vid_qkv_w)
     txt_qkv = txt_qkv.reshape(B, Lt, 3, H, hd)
+    del vid_qkv
 
     vq, vk, vv = vid_qkv_w[:, :, :, 0], vid_qkv_w[:, :, :, 1], vid_qkv_w[:, :, :, 2]
     tq, tk, tv = txt_qkv[:, :, 0], txt_qkv[:, :, 1], txt_qkv[:, :, 2]
@@ -346,9 +366,9 @@ def _window_attention(
         tw = jnp.broadcast_to(tw[:, None], (B, nW, Lt, H, hd))
         return jnp.concatenate([vw, tw], axis=2)
 
-    q = with_txt(vq, tq).reshape(B * nW, mL + Lt, H, hd)
-    k = with_txt(vk, tk).reshape(B * nW, mL + Lt, H, hd)
-    v = with_txt(vv, tv).reshape(B * nW, mL + Lt, H, hd)
+    q = constrain_attn_io(with_txt(vq, tq).reshape(B * nW, mL + Lt, H, hd))
+    k = constrain_attn_io(with_txt(vk, tk).reshape(B * nW, mL + Lt, H, hd))
+    v = constrain_attn_io(with_txt(vv, tv).reshape(B * nW, mL + Lt, H, hd))
 
     valid = np.concatenate([plan.valid, np.ones((nW, Lt), bool)], axis=1)  # [nW, mL+Lt]
     kv_valid = jnp.asarray(valid)
@@ -360,7 +380,7 @@ def _window_attention(
     vid_out_w = out[:, :, :mL].reshape(B, nW * mL, inner)
     # Scatter windows back to token order (exact partition -> pure gather).
     inv = jnp.asarray(plan.inverse)
-    vid_out = jnp.take(vid_out_w, inv, axis=1)  # [B, L, inner]
+    vid_out = constrain_tokens(jnp.take(vid_out_w, inv, axis=1))  # [B, L, inner]
 
     # Text coalescing: average over windows (reference: na.py:396-417).
     txt_out = jnp.mean(out[:, :, mL:].astype(jnp.float32), axis=1).astype(out.dtype)
@@ -459,7 +479,7 @@ def nadit_forward(
     thw = (T, H // ph, W // pw)
     assert plans.thw == thw, (plans.thw, thw)
 
-    x = patchify(params["vid_in"], cfg, vid)  # [B, L, D]
+    x = constrain_tokens(patchify(params["vid_in"], cfg, vid))  # [B, L, D]
     t_emb = txt @ params["txt_in"]["w"].astype(txt.dtype) + params["txt_in"]["b"].astype(txt.dtype)
     emb = time_embedding(params["emb_in"], cfg, timestep, x.dtype)  # [B, 6D]
     emb_slices = _ada_slices(emb, cfg.vid_dim)

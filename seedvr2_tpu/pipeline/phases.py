@@ -1,0 +1,276 @@
+"""The 4-phase generation pipeline: encode -> upscale -> decode -> postprocess.
+
+Reference: src/core/generation_phases.py (encode_all_batches :171,
+upscale_all_batches :542, decode_all_batches :807,
+postprocess_all_batches :1060). Same observable behaviour — batch/overlap
+math, 4n+1 padding, Hann seam blending, per-batch deterministic seeding,
+trim-then-assemble — but the TPU realization differs:
+
+- models stay resident (no per-phase materialize/offload dance);
+- each phase's device work is a handful of compiled executables over
+  fixed-shape batches;
+- intermediate latents are kept as device arrays and optionally pulled to
+  host RAM for very long videos (the reference's tensor_offload_device).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import PipelineConfig
+from ..ops import color as color_ops
+from ..ops.blending import blend_overlapping_frames
+from ..ops.resize import divisible_pad, pipeline_transform, true_target_dims
+from ..utils.debug import Debug
+from ..utils.seed import batch_key
+from . import batching
+from .runner import Runner
+
+
+def make_context(cfg: PipelineConfig, debug: Optional[Debug] = None) -> Dict[str, Any]:
+    """Pipeline state dict (reference: setup_generation_context,
+    generation_utils.py:315-418 — minus the device plumbing TPU doesn't need)."""
+    return {
+        "cfg": cfg,
+        "debug": debug or Debug(),
+        "batches": None,
+        "all_latents": [],
+        "all_upscaled": [],
+        "all_alpha": [],
+        "final_video": None,
+        "decode_info": [],
+        "is_rgba": False,
+        "true_dims": None,
+        "total_frames": 0,
+        "interrupt_fn": None,
+    }
+
+
+def _check_interrupt(ctx):
+    fn = ctx.get("interrupt_fn")
+    if fn is not None:
+        fn()
+
+
+def _transform_batch(cfg: PipelineConfig, rgb: np.ndarray) -> jnp.ndarray:
+    """[T, H, W, 3] float in [0,1] -> [T, H', W', 3] in [-1,1] on device."""
+    return pipeline_transform(jnp.asarray(rgb), cfg.resolution, cfg.max_resolution)
+
+
+def encode_all_batches(
+    runner: Runner,
+    ctx: Dict[str, Any],
+    images: np.ndarray,  # [T, H, W, 3|4] float32 in [0, 1]
+    progress_callback: Optional[Callable] = None,
+) -> Dict[str, Any]:
+    """Phase 1 (reference: generation_phases.py:171-539)."""
+    cfg: PipelineConfig = ctx["cfg"]
+    debug: Debug = ctx["debug"]
+    debug.log("Phase 1: VAE encoding", category="vae", force=False)
+    debug.start_timer("phase1_encoding")
+
+    if cfg.prepend_frames > 0:
+        images = batching.pad_temporal_reversed(images, cfg.prepend_frames, prepend=True)
+
+    total = len(images)
+    ctx["total_frames"] = total
+    ctx["input_images"] = images
+    ctx["is_rgba"] = images.shape[-1] == 4
+    ctx["true_dims"] = true_target_dims(
+        images.shape[1], images.shape[2], cfg.resolution, cfg.max_resolution
+    )
+
+    overlap = batching.effective_overlap(cfg.batch_size, cfg.temporal_overlap)
+    ctx["actual_overlap"] = overlap
+    specs = batching.compute_batches(total, cfg.batch_size, overlap, cfg.uniform_batch_size)
+    ctx["batches"] = specs
+    ctx["all_latents"] = [None] * len(specs)
+    ctx["all_alpha"] = [None] * len(specs)
+
+    key_noise = batch_key(cfg.seed, "input_noise")
+
+    for bi, spec in enumerate(specs):
+        _check_interrupt(ctx)
+        debug.start_timer(f"encode_batch_{bi+1}")
+        video = batching.prepare_batch(images, spec)  # [T', H, W, C]
+        if ctx["is_rgba"]:
+            ctx["all_alpha"][bi] = video[..., 3:]
+            rgb = video[..., :3]
+        else:
+            rgb = video
+        tv = _transform_batch(cfg, rgb)
+        if cfg.input_noise_scale > 0:
+            # reference: generation_phases.py:415-431
+            key_noise, sub = jax.random.split(key_noise)
+            noise = jax.random.normal(sub, tv.shape, tv.dtype) * 0.05
+            blend = cfg.input_noise_scale * 0.5
+            tv = tv * (1 - blend) + (tv + noise) * blend
+        latent = runner.vae_encode(tv[None].astype(jnp.dtype(cfg.compute_dtype)))
+        ctx["all_latents"][bi] = jax.device_get(latent[0]) if _offload(cfg) else latent[0]
+        debug.end_timer(f"encode_batch_{bi+1}", f"Encoded batch {bi+1}/{len(specs)}")
+        if progress_callback:
+            progress_callback(bi + 1, len(specs), spec.ori_length, "Phase 1: Encoding")
+
+    debug.end_timer("phase1_encoding", "Phase 1: VAE encoding complete")
+    return ctx
+
+
+def upscale_all_batches(
+    runner: Runner,
+    ctx: Dict[str, Any],
+    progress_callback: Optional[Callable] = None,
+) -> Dict[str, Any]:
+    """Phase 2 (reference: generation_phases.py:542-804). One DiT forward
+    per batch (1 Euler step, cfg=1); the per-batch seed reset keeps outputs
+    independent of batch position."""
+    cfg: PipelineConfig = ctx["cfg"]
+    debug: Debug = ctx["debug"]
+    debug.start_timer("phase2_upscaling")
+    n = len(ctx["all_latents"])
+    ctx["all_upscaled"] = [None] * n
+    for bi, latent in enumerate(ctx["all_latents"]):
+        _check_interrupt(ctx)
+        debug.start_timer(f"upscale_batch_{bi+1}")
+        lat = jnp.asarray(latent)[None]
+        up = runner.upscale(lat, cfg.seed)
+        ctx["all_upscaled"][bi] = jax.device_get(up[0]) if _offload(cfg) else up[0]
+        ctx["all_latents"][bi] = None
+        debug.end_timer(f"upscale_batch_{bi+1}", f"Upscaled batch {bi+1}/{n}")
+        if progress_callback:
+            progress_callback(bi + 1, n, 1, "Phase 2: Upscaling")
+    debug.end_timer("phase2_upscaling", "Phase 2: DiT upscaling complete")
+    return ctx
+
+
+def decode_all_batches(
+    runner: Runner,
+    ctx: Dict[str, Any],
+    progress_callback: Optional[Callable] = None,
+) -> Dict[str, Any]:
+    """Phase 3 (reference: generation_phases.py:807-1057): decode, trim
+    temporal+spatial padding, Hann-blend the overlap, write into the
+    preallocated output."""
+    cfg: PipelineConfig = ctx["cfg"]
+    debug: Debug = ctx["debug"]
+    debug.start_timer("phase3_decoding")
+    true_h, true_w = ctx["true_dims"]
+    total = ctx["total_frames"]
+    C = 4 if ctx["is_rgba"] else 3
+    final = np.zeros((total, true_h, true_w, C), np.float32)
+    overlap = ctx["actual_overlap"]
+    specs = ctx["batches"]
+    write_idx = 0
+    ctx["decode_info"] = []
+
+    n = len(ctx["all_upscaled"])
+    for bi, up in enumerate(ctx["all_upscaled"]):
+        _check_interrupt(ctx)
+        debug.start_timer(f"decode_batch_{bi+1}")
+        sample = runner.vae_decode(jnp.asarray(up)[None])[0]  # [T, H, W, 3] in [-1,1]
+        sample = np.asarray(jax.device_get(sample), np.float32)
+        ori = specs[bi].ori_length
+        sample = sample[:ori, :true_h, :true_w]
+
+        if bi > 0 and overlap > 0 and overlap < sample.shape[0] and write_idx >= overlap:
+            prev_tail = final[write_idx - overlap : write_idx, :, :, :3]
+            blended = blend_overlapping_frames(
+                jnp.asarray(prev_tail), jnp.asarray(sample[:overlap]), overlap
+            )
+            final[write_idx - overlap : write_idx, :, :, :3] = np.asarray(blended)
+            sample = sample[overlap:]
+
+        t = sample.shape[0]
+        final[write_idx : write_idx + t, :, :, :3] = sample
+        ctx["decode_info"].append((write_idx, write_idx + t, bi, ori))
+        write_idx += t
+        ctx["all_upscaled"][bi] = None
+        debug.end_timer(f"decode_batch_{bi+1}", f"Decoded batch {bi+1}/{n}")
+        if progress_callback:
+            progress_callback(bi + 1, n, t, "Phase 3: Decoding")
+
+    ctx["final_video"] = final[:write_idx]
+    debug.end_timer("phase3_decoding", "Phase 3: VAE decoding complete")
+    return ctx
+
+
+def postprocess_all_batches(
+    runner: Runner,
+    ctx: Dict[str, Any],
+    progress_callback: Optional[Callable] = None,
+) -> Dict[str, Any]:
+    """Phase 4 (reference: generation_phases.py:1060-1479): per-batch color
+    correction against the resized input, alpha re-attachment, [-1,1]->[0,1],
+    prepend removal."""
+    cfg: PipelineConfig = ctx["cfg"]
+    debug: Debug = ctx["debug"]
+    debug.start_timer("phase4_postprocess")
+    final = ctx["final_video"]
+    specs = ctx["batches"]
+    images = ctx["input_images"]
+    true_h, true_w = ctx["true_dims"]
+
+    n = len(ctx["decode_info"])
+    for i, (ws, we, bi, ori) in enumerate(ctx["decode_info"]):
+        _check_interrupt(ctx)
+        spec = specs[bi]
+        out_rgb = final[ws:we, :, :, :3]  # [t, H, W, 3] in [-1,1]
+        skip = ori - (we - ws)  # overlap frames dropped from batch head
+
+        if cfg.color_correction != "none":
+            # Reconstruct the color reference on demand (reference:
+            # generation_phases.py:127-168) and trim like the output.
+            video = batching.prepare_batch(images, spec)
+            ref = _transform_batch(cfg, video[..., :3])  # [T', H', W', 3]
+            ref = ref[skip:ori, :true_h, :true_w]
+            content = jnp.asarray(out_rgb).transpose(0, 3, 1, 2)  # BCHW
+            style = ref.transpose(0, 3, 1, 2)
+            corrected = color_ops.apply_color_correction(cfg.color_correction, content, style)
+            out_rgb = np.asarray(jax.device_get(corrected)).transpose(0, 2, 3, 1)
+
+        # normalize [-1,1] -> [0,1] (reference: :1336-1348)
+        final[ws:we, :, :, :3] = np.clip(out_rgb / 2.0 + 0.5, 0.0, 1.0)
+
+        if ctx["is_rgba"]:
+            from .alpha import upscale_alpha_batch
+
+            alpha = ctx["all_alpha"][bi][skip:ori]  # [t, H, W, 1] input-res
+            rgb_hi = final[ws:we, :, :, :3]
+            final[ws:we, :, :, 3] = upscale_alpha_batch(alpha, rgb_hi)
+
+        if progress_callback:
+            progress_callback(i + 1, n, we - ws, "Phase 4: Post-processing")
+
+    if cfg.prepend_frames > 0:
+        final = final[cfg.prepend_frames :]
+    ctx["final_video"] = final
+    debug.end_timer("phase4_postprocess", "Phase 4: Post-processing complete")
+    return ctx
+
+
+def generate(
+    runner: Runner,
+    images: np.ndarray,
+    cfg: Optional[PipelineConfig] = None,
+    debug: Optional[Debug] = None,
+    progress_callback: Optional[Callable] = None,
+) -> np.ndarray:
+    """End-to-end: frames in [0,1] THWC -> upscaled frames in [0,1] THWC."""
+    cfg = cfg or runner.cfg
+    ctx = make_context(cfg, debug)
+    encode_all_batches(runner, ctx, images, progress_callback)
+    upscale_all_batches(runner, ctx, progress_callback)
+    decode_all_batches(runner, ctx, progress_callback)
+    postprocess_all_batches(runner, ctx, progress_callback)
+    return ctx["final_video"]
+
+
+def _offload(cfg: PipelineConfig) -> bool:
+    """Pull intermediates to host RAM between phases (the reference's
+    tensor_offload_device). Cheap insurance against HBM growth on long
+    videos; device_put round-trips overlap with the next batch's compute."""
+    return True

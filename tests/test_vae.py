@@ -1,0 +1,131 @@
+"""VAE correctness: shapes, causal streaming equivalence (the reference's
+MemoryState machine — SURVEY.md §7 hard part 1), tiling blend behaviour."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from seedvr2_tpu.config import vae_tiny
+from seedvr2_tpu.models.vae.causal_conv import StreamCtx, causal_conv3d
+from seedvr2_tpu.models.vae.model import (
+    decoder_forward,
+    encoder_forward,
+    init_vae_params,
+    posterior_mode,
+)
+from seedvr2_tpu.models.vae import tiling
+
+CFG = vae_tiny()
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_vae_params(CFG, jax.random.PRNGKey(0))
+
+
+def test_encoder_shapes(params):
+    x = jnp.zeros((1, 13, 32, 32, 3))
+    m = encoder_forward(params, CFG, x)
+    # 13 = 4*3+1 -> 4 latent frames; 32/8 = 4 spatial
+    assert m.shape == (1, 4, 4, 4, 2 * CFG.latent_channels)
+
+
+def test_single_frame(params):
+    x = jnp.zeros((1, 1, 32, 32, 3))
+    m = encoder_forward(params, CFG, x)
+    assert m.shape == (1, 1, 4, 4, 2 * CFG.latent_channels)
+    y = decoder_forward(params, CFG, posterior_mode(m))
+    assert y.shape == (1, 1, 32, 32, 3)
+
+
+def test_decoder_shapes(params):
+    z = jnp.zeros((1, 4, 4, 4, CFG.latent_channels))
+    y = decoder_forward(params, CFG, z)
+    assert y.shape == (1, 13, 32, 32, 3)
+
+
+def test_causal_conv_streaming_matches_full():
+    """Streaming a stride-1 causal conv slice-by-slice == one-shot."""
+    key = jax.random.PRNGKey(1)
+    w = jax.random.normal(key, (3, 3, 3, 4, 8)) * 0.1
+    p = {"w": w, "b": jnp.zeros((8,))}
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 9, 8, 8, 4))
+
+    full = causal_conv3d(p, x, StreamCtx("disabled"), "c")
+
+    ctx1 = StreamCtx("init")
+    y1 = causal_conv3d(p, x[:, :5], ctx1, "c")
+    ctx2 = StreamCtx("active", ctx1.out_state)
+    y2 = causal_conv3d(p, x[:, 5:], ctx2, "c")
+    np.testing.assert_allclose(np.concatenate([y1, y2], axis=1), full, atol=1e-5)
+
+
+def test_causal_conv_strided_streaming():
+    """Temporal stride-2 downsampling conv streams identically (the
+    reference's 4n+1 slice algebra)."""
+    w = jax.random.normal(jax.random.PRNGKey(3), (3, 1, 1, 2, 2)) * 0.3
+    p = {"w": w, "b": jnp.zeros((2,))}
+    x = jax.random.normal(jax.random.PRNGKey(4), (1, 13, 2, 2, 2))
+    kw = dict(stride=(2, 1, 1), spatial_pad=((0, 0), (0, 0)), temporal_pad=1)
+
+    full = causal_conv3d(p, x, StreamCtx("disabled"), "c", **kw)
+    outs = []
+    state = {}
+    for i, (s, e) in enumerate([(0, 5), (5, 9), (9, 13)]):
+        ctx = StreamCtx("init" if i == 0 else "active", state)
+        outs.append(causal_conv3d(p, x[:, s:e], ctx, "c", **kw))
+        state = ctx.out_state
+    np.testing.assert_allclose(np.concatenate(outs, axis=1), full, atol=1e-5)
+
+
+def test_encode_slicing_matches_full(params):
+    """slicing_encode (1+4,4,4) == single full pass — exact streaming parity
+    (reference: attn_video_vae.py:1254-1276). Both sides jitted so the only
+    difference is the streaming state machine."""
+    x = jax.random.normal(jax.random.PRNGKey(5), (1, 13, 16, 16, 3))
+    full = tiling._encode_slice(params, CFG, x, {}, "disabled")[0]
+    sliced = tiling.slicing_encode(params, CFG, x)
+    np.testing.assert_allclose(sliced, full, atol=2e-5)
+
+
+def test_decode_slicing_matches_full(params):
+    z = jax.random.normal(jax.random.PRNGKey(6), (1, 4, 4, 4, CFG.latent_channels))
+    full = tiling._decode_slice(params, CFG, z, {}, "disabled")[0]
+    sliced = tiling.slicing_decode(params, CFG, z)
+    np.testing.assert_allclose(sliced, full, atol=2e-5)
+
+
+def test_tiled_decode_shape_and_blend(params):
+    """Tiled decode: correct shape, finite, and no hard seam (neighbouring
+    pixels across a tile boundary stay continuous thanks to the cosine-ramp
+    blending). Exact equality with untiled decode is NOT expected — tiles
+    lack cross-tile receptive field, same as the reference."""
+    z = jax.random.normal(jax.random.PRNGKey(7), (1, 2, 8, 8, CFG.latent_channels)) * 0.5
+    full = tiling.vae_decode(params, CFG, z)
+    tiled = tiling.vae_decode(
+        params, CFG, z, tiled=True, tile_size=(32, 32), tile_overlap=(8, 8)
+    )
+    assert tiled.shape == full.shape
+    t = np.asarray(tiled)
+    assert np.isfinite(t).all()
+    # seam at pixel 32 (tile boundary): jump across the seam should be of
+    # the same order as typical neighbour jumps, not an outlier
+    seam_jump = np.abs(t[:, :, 32, :] - t[:, :, 31, :]).mean()
+    typical_jump = np.abs(np.diff(t, axis=2)).mean()
+    assert seam_jump < 10 * typical_jump + 1e-3
+
+
+def test_tiled_encode_shape(params):
+    x = jax.random.normal(jax.random.PRNGKey(8), (1, 5, 64, 64, 3))
+    lat = tiling.vae_encode(params, CFG, x, tiled=True, tile_size=(32, 32), tile_overlap=(8, 8))
+    assert lat.shape == (1, 2, 8, 8, CFG.latent_channels)
+
+
+def test_vae_scaling(params):
+    x = jax.random.normal(jax.random.PRNGKey(9), (1, 1, 32, 32, 3))
+    m = encoder_forward(params, CFG, x)
+    lat = tiling.vae_encode(params, CFG, x)
+    np.testing.assert_allclose(
+        lat, (posterior_mode(m) - CFG.shifting_factor) * CFG.scaling_factor, atol=1e-6
+    )
