@@ -1,0 +1,143 @@
+"""GGUF reader + dequant: vectorized kernels vs independent scalar
+re-derivations of the ggml block formats, and a synthetic file round-trip."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from seedvr2_tpu.io import gguf as G
+
+
+def _rand_bytes(n, seed):
+    return np.random.RandomState(seed).randint(0, 256, n, dtype=np.uint8)
+
+
+def _scalar_q8_0(block):
+    d = np.frombuffer(block[:2].tobytes(), np.float16)[0].astype(np.float32)
+    q = np.frombuffer(block[2:34].tobytes(), np.int8).astype(np.float32)
+    return d * q
+
+
+def _scalar_q4_0(block):
+    d = np.frombuffer(block[:2].tobytes(), np.float16)[0].astype(np.float32)
+    out = np.zeros(32, np.float32)
+    for j in range(16):
+        out[j] = (block[2 + j] & 0xF) - 8.0
+        out[j + 16] = (block[2 + j] >> 4) - 8.0
+    return d * out
+
+
+def _scalar_q4_k(block):
+    d = np.frombuffer(block[0:2].tobytes(), np.float16)[0].astype(np.float32)
+    dmin = np.frombuffer(block[2:4].tobytes(), np.float16)[0].astype(np.float32)
+    sc = block[4:16]
+    scales, mins = np.zeros(8), np.zeros(8)
+    for i in range(8):
+        if i < 4:
+            scales[i] = sc[i] & 63
+            mins[i] = sc[i + 4] & 63
+        else:
+            scales[i] = (sc[i + 4] & 0xF) | ((sc[i - 4] >> 6) << 4)
+            mins[i] = (sc[i + 4] >> 4) | ((sc[i] >> 6) << 4)
+    qs = block[16:144]
+    out = np.zeros(256, np.float32)
+    for i in range(4):
+        for l in range(32):
+            q = qs[32 * i + l]
+            out[64 * i + l] = d * scales[2 * i] * (q & 0xF) - dmin * mins[2 * i]
+            out[64 * i + 32 + l] = d * scales[2 * i + 1] * (q >> 4) - dmin * mins[2 * i + 1]
+    return out
+
+
+def _scalar_q6_k(block):
+    ql = block[0:128]
+    qh = block[128:192]
+    sc = np.frombuffer(block[192:208].tobytes(), np.int8).astype(np.float32)
+    d = np.frombuffer(block[208:210].tobytes(), np.float16)[0].astype(np.float32)
+    out = np.zeros(256, np.float32)
+    ql = ql.astype(int)
+    qh = qh.astype(int)
+    for n in range(2):
+        for l in range(32):
+            is_ = l // 16
+            q1 = ((ql[64 * n + l] & 0xF) | (((qh[32 * n + l] >> 0) & 3) << 4)) - 32
+            q2 = ((ql[64 * n + 32 + l] & 0xF) | (((qh[32 * n + l] >> 2) & 3) << 4)) - 32
+            q3 = ((ql[64 * n + l] >> 4) | (((qh[32 * n + l] >> 4) & 3) << 4)) - 32
+            q4 = ((ql[64 * n + 32 + l] >> 4) | (((qh[32 * n + l] >> 6) & 3) << 4)) - 32
+            out[128 * n + l] = d * sc[8 * n + is_] * q1
+            out[128 * n + 32 + l] = d * sc[8 * n + is_ + 2] * q2
+            out[128 * n + 64 + l] = d * sc[8 * n + is_ + 4] * q3
+            out[128 * n + 96 + l] = d * sc[8 * n + is_ + 6] * q4
+    return out
+
+
+@pytest.mark.parametrize(
+    "gtype,scalar,belems,bbytes",
+    [
+        (G.Q8_0, _scalar_q8_0, 32, 34),
+        (G.Q4_0, _scalar_q4_0, 32, 18),
+        (G.Q4_K, _scalar_q4_k, 256, 144),
+        (G.Q6_K, _scalar_q6_k, 256, 210),
+    ],
+)
+def test_dequant_matches_scalar(gtype, scalar, belems, bbytes):
+    nb = 4
+    raw = _rand_bytes(nb * bbytes, seed=gtype)
+    # overwrite the scale f16s with sane values to avoid inf/nan
+    blocks = raw.reshape(nb, bbytes).copy()
+    for i in range(nb):
+        blocks[i, :2] = np.frombuffer(np.float16(0.25 * (i + 1)).tobytes(), np.uint8)
+        if gtype in (G.Q4_K,):
+            blocks[i, 2:4] = np.frombuffer(np.float16(0.1).tobytes(), np.uint8)
+        if gtype == G.Q6_K:
+            blocks[i, 208:210] = np.frombuffer(np.float16(0.5).tobytes(), np.uint8)
+    out = G.dequantize(blocks.reshape(-1), gtype, nb * belems)
+    expected = np.concatenate([scalar(blocks[i]) for i in range(nb)])
+    np.testing.assert_allclose(out, expected, rtol=1e-5, atol=1e-6)
+
+
+def test_q8_roundtrip_quantize():
+    """Quantize -> dequantize recovers values to within a half-step."""
+    rng = np.random.RandomState(0)
+    x = rng.randn(64).astype(np.float32)
+    blocks = []
+    for i in range(2):
+        v = x[32 * i : 32 * i + 32]
+        d = np.abs(v).max() / 127.0
+        q = np.clip(np.round(v / d), -127, 127).astype(np.int8)
+        blocks.append(np.frombuffer(np.float16(d).tobytes(), np.uint8))
+        blocks.append(q.view(np.uint8))
+    raw = np.concatenate(blocks)
+    out = G.dequantize(raw, G.Q8_0, 64)
+    np.testing.assert_allclose(out, x, atol=np.abs(x).max() / 127.0)
+
+
+def test_gguf_file_roundtrip(tmp_path):
+    """Write a minimal GGUF v3 file and read it back."""
+    path = str(tmp_path / "test.gguf")
+    name = b"blocks.0.attn.w"
+    data = np.arange(64, dtype=np.float32)
+    with open(path, "wb") as f:
+        f.write(b"GGUF")
+        f.write(struct.pack("<I", 3))
+        f.write(struct.pack("<QQ", 1, 1))  # 1 tensor, 1 kv
+        key = b"general.alignment"
+        f.write(struct.pack("<Q", len(key)) + key)
+        f.write(struct.pack("<I", 4))  # uint32
+        f.write(struct.pack("<I", 32))
+        # tensor info
+        f.write(struct.pack("<Q", len(name)) + name)
+        f.write(struct.pack("<I", 2))  # n_dims
+        f.write(struct.pack("<QQ", 8, 8))  # ne[0]=8 (fastest), ne[1]=8
+        f.write(struct.pack("<I", G.F32))
+        f.write(struct.pack("<Q", 0))
+        pos = f.tell()
+        f.write(b"\x00" * ((-pos) % 32))
+        f.write(data.tobytes())
+    g = G.read_gguf(path)
+    assert g.metadata["general.alignment"] == 32
+    info = g.tensors["blocks.0.attn.w"]
+    assert info.shape == (8, 8)
+    out = g.load_tensor("blocks.0.attn.w")
+    np.testing.assert_array_equal(out, data.reshape(8, 8))
