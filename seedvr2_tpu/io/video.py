@@ -14,6 +14,8 @@ from typing import Generator, Iterator, List, Optional, Tuple
 
 import numpy as np
 
+from . import frameops
+
 VIDEO_EXTS = {".mp4", ".avi", ".mov", ".mkv", ".webm", ".m4v", ".flv", ".wmv", ".gif"}
 IMAGE_EXTS = {".png", ".jpg", ".jpeg", ".bmp", ".tiff", ".tif", ".webp"}
 
@@ -40,6 +42,8 @@ def read_image(path: str) -> np.ndarray:
         raise FileNotFoundError(path)
     if img.ndim == 2:
         img = cv2.cvtColor(img, cv2.COLOR_GRAY2BGR)
+    if img.dtype == np.uint8:
+        return frameops.u8_to_f32_rgb(img, swap_rb=True)
     if img.shape[2] == 4:
         img = cv2.cvtColor(img, cv2.COLOR_BGRA2RGBA)
     else:
@@ -51,7 +55,7 @@ def read_image(path: str) -> np.ndarray:
 def write_image(path: str, frame01: np.ndarray) -> None:
     import cv2
 
-    img = (np.clip(frame01, 0, 1) * 255.0).round().astype(np.uint8)
+    img = frameops.f32_to_u8(frame01)
     if img.shape[2] == 4:
         img = cv2.cvtColor(img, cv2.COLOR_RGBA2BGRA)
     else:
@@ -85,10 +89,10 @@ class VideoReader:
             ok, frame = self.cap.read()
             if not ok:
                 break
-            frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+            frames.append(frameops.u8_to_f32_rgb(frame, swap_rb=True))
         if not frames:
             return np.zeros((0, self.height, self.width, 3), np.float32)
-        return np.stack(frames).astype(np.float32) / 255.0
+        return np.stack(frames)
 
     def chunks(self, chunk_size: int, overlap: int = 0) -> Iterator[np.ndarray]:
         """Streaming chunk generator with overlap carry (reference:
@@ -144,9 +148,9 @@ class FFmpegWriter:
     def write(self, frames01: np.ndarray) -> None:
         """frames01: [T, H, W, 3] float in [0, 1]."""
         if self.bit10:
-            data = (np.clip(frames01, 0, 1) * 65535.0).round().astype("<u2")
+            data = frameops.f32_to_u16(frames01)
         else:
-            data = (np.clip(frames01, 0, 1) * 255.0).round().astype(np.uint8)
+            data = frameops.f32_to_u8(frames01)
         try:
             self.proc.stdin.write(data.tobytes())
         except BrokenPipeError as e:

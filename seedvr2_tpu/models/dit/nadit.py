@@ -230,7 +230,11 @@ def init_params(cfg: DiTConfig, key: jax.Array, dtype=jnp.float32) -> Params:
 
 
 def _apply_linear(p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    y = x @ p["w"].astype(x.dtype)
+    if "w_q" in p:  # int8 weight-only storage (ops/quant.py)
+        y = x @ p["w_q"].astype(x.dtype)
+        y = y * p["w_s"].astype(x.dtype)
+    else:
+        y = x @ p["w"].astype(x.dtype)
     if "b" in p:
         y = y + p["b"].astype(x.dtype)
     return y
@@ -324,8 +328,11 @@ def _window_attention(
     nW, mL = plan.n_win, plan.max_len
 
     def qkv_proj(pq, x):
-        w = pq["w"].astype(x.dtype)  # [D, 3, inner]
-        y = jnp.einsum("bld,dox->blox", x, w)
+        if "w_q" in pq:
+            w = pq["w_q"].astype(x.dtype)  # [D, 3, inner] int8 widened
+            y = jnp.einsum("bld,dox->blox", x, w) * pq["w_s"].astype(x.dtype)
+        else:
+            y = jnp.einsum("bld,dox->blox", x, pq["w"].astype(x.dtype))
         if "b" in pq:
             y = y + pq["b"].astype(x.dtype)
         return y  # [B, L, 3, inner]

@@ -99,6 +99,16 @@ class Debug:
         except Exception:
             pass
 
+    @contextmanager
+    def profile(self, logdir: str = "/tmp/seedvr2_profile"):
+        """jax.profiler trace around a region (TPU analog of the reference's
+        homemade timing subsystem; view with tensorboard/xprof)."""
+        import jax
+
+        with jax.profiler.trace(logdir):
+            yield
+        self.log(f"Profiler trace written to {logdir}", category="timing", force=True)
+
     def environment_report(self) -> None:
         if not self.enabled:
             return
