@@ -144,10 +144,27 @@ def build_runner(args):
     return Runner(cfg, dit_params, vae_params, pos, neg, debug=debug), cfg, debug
 
 
-def process_frames(runner, cfg, frames: np.ndarray, debug):
+def process_frames(runner, cfg, frames: np.ndarray, debug, mesh=None):
+    if mesh is not None and mesh.shape.get("data", 1) > 1:
+        from seedvr2_tpu.pipeline.multichip import generate_multichip
+
+        return generate_multichip(runner, frames, mesh, debug=debug)
     from seedvr2_tpu.pipeline import phases
 
     return phases.generate(runner, frames, cfg, debug)
+
+
+def build_mesh(args):
+    import jax
+
+    from seedvr2_tpu.parallel.mesh import auto_mesh, make_mesh
+
+    if len(jax.devices()) == 1:
+        return None
+    if args.mesh == "auto":
+        return auto_mesh()
+    d, s, t = (int(x) for x in args.mesh.split(","))
+    return make_mesh(d, s, t)
 
 
 def main(argv: Optional[List[str]] = None) -> int:
@@ -155,6 +172,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     from seedvr2_tpu.io import video as vio
 
     runner, cfg, debug = build_runner(args)
+    mesh = build_mesh(args)
     kind = vio.input_type(args.input)
     t0 = time.time()
     n_frames = 0
@@ -177,7 +195,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         for frames in reader.chunks(chunk, args.temporal_overlap if args.chunk_size else 0):
             if args.load_cap and n_frames >= args.load_cap:
                 break
-            out = process_frames(runner, cfg, frames, debug)
+            out = process_frames(runner, cfg, frames, debug, mesh)
             if args.output_format == "png":
                 vio.write_png_sequence(os.path.splitext(out_path)[0], out, start_index=n_frames)
             else:

@@ -32,22 +32,29 @@ def _t_conv3d(w: np.ndarray) -> np.ndarray:
 
 
 def load_safetensors(path: str) -> Dict[str, np.ndarray]:
-    """Load a safetensors file to host numpy (handles bf16/fp16/fp8)."""
+    """Load a safetensors file to host numpy (handles bf16/fp16/fp8 — the
+    registry ships fp8_e4m3fn and mixed-precision checkpoints, reference:
+    model_registry.py:34-57)."""
     from safetensors import safe_open
 
     out = {}
+    needs_torch = []
     with safe_open(path, framework="np") as f:
-        for k in f.keys():
+        keys = list(f.keys())
+        for k in keys:
             try:
                 out[k] = f.get_tensor(k)
             except Exception:
-                # dtypes numpy can't represent directly (bf16, fp8) — go
-                # through torch's zero-copy view then upcast to fp32.
-                import torch
-                from safetensors import torch as st_torch
+                needs_torch.append(k)
+    if needs_torch:
+        # dtypes numpy can't represent (bf16, fp8_e4m3fn): one torch pass,
+        # upcast to fp32.
+        import torch
+        from safetensors import torch as st_torch
 
-                t = st_torch.load_file(path)[k]
-                out[k] = t.to(torch.float32).numpy()
+        full = st_torch.load_file(path)
+        for k in needs_torch:
+            out[k] = full[k].to(torch.float32).numpy()
     return out
 
 
@@ -276,7 +283,12 @@ def export_state_dict(
 
 
 def load_dit_params(path: str, cfg: DiTConfig, template, dtype=np.float32):
-    state = load_safetensors(path)
+    if path.endswith(".gguf"):
+        from .gguf import load_gguf_state_dict
+
+        state = load_gguf_state_dict(path, dtype)
+    else:
+        state = load_safetensors(path)
     flat = convert_state_dict(state, dit_key_map(cfg), dtype)
     return unflatten_into(template, flat)
 
