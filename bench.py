@@ -49,14 +49,15 @@ def main() -> int:
         color_correction="wavelet",
         compute_dtype="bfloat16",
         # VAE tiling: the 16GB HBM of one v5e chip is the reference's
-        # "12-16GB -> use tiling" tier (README.md:342); same 1024/128 tile
-        # setup as its 4K example workflow.
+        # "12-16GB -> use tiling" tier (README.md:342); reference-default
+        # 512/64 tiles keep decode activations ~350MB/buffer next to the
+        # 6.2GB resident DiT.
         encode_tiled=True,
-        encode_tile_size=(1024, 1024),
-        encode_tile_overlap=(128, 128),
+        encode_tile_size=(512, 512),
+        encode_tile_overlap=(64, 64),
         decode_tiled=True,
-        decode_tile_size=(1024, 1024),
-        decode_tile_overlap=(128, 128),
+        decode_tile_size=(512, 512),
+        decode_tile_overlap=(64, 64),
     )
     dtype = jnp.bfloat16
     dit_params = init_dit(cfg.dit, jax.random.PRNGKey(0), dtype=dtype)

@@ -62,6 +62,29 @@ def _transform_batch(cfg: PipelineConfig, rgb: np.ndarray) -> jnp.ndarray:
     return pipeline_transform(jnp.asarray(rgb), cfg.resolution, cfg.max_resolution)
 
 
+@jax.jit
+def _color_fix_wavelet(content, style):
+    return color_ops.wavelet_reconstruction(content, style)
+
+
+_COLOR_JITTED = {
+    "wavelet": _color_fix_wavelet,
+    "lab": jax.jit(color_ops.lab_color_transfer),
+    "hsv": jax.jit(color_ops.hsv_saturation_match),
+    "wavelet_adaptive": jax.jit(color_ops.wavelet_adaptive_color_correction),
+    "adain": jax.jit(color_ops.adaptive_instance_normalization),
+}
+
+
+def _apply_color(method: str, content, style):
+    """One compiled executable per method+shape — phase 4 stays on-device
+    with bounded temporaries instead of dozens of eager conv dispatches."""
+    fn = _COLOR_JITTED.get(method)
+    if fn is None:
+        return content
+    return fn(content, style)
+
+
 def encode_all_batches(
     runner: Runner,
     ctx: Dict[str, Any],
@@ -229,8 +252,9 @@ def postprocess_all_batches(
             ref = ref[skip:ori, :true_h, :true_w]
             content = jnp.asarray(out_rgb).transpose(0, 3, 1, 2)  # BCHW
             style = ref.transpose(0, 3, 1, 2)
-            corrected = color_ops.apply_color_correction(cfg.color_correction, content, style)
+            corrected = _apply_color(cfg.color_correction, content, style)
             out_rgb = np.asarray(jax.device_get(corrected)).transpose(0, 2, 3, 1)
+            del content, style, corrected
 
         # normalize [-1,1] -> [0,1] (reference: :1336-1348)
         final[ws:we, :, :, :3] = np.clip(out_rgb / 2.0 + 0.5, 0.0, 1.0)

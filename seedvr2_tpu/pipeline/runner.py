@@ -60,25 +60,50 @@ class Runner:
     def vae_encode(self, video: jnp.ndarray) -> jnp.ndarray:
         """video: [B, T, H, W, 3] in [-1, 1] -> scaled latent."""
         c = self.cfg
-        return vae_tiling.vae_encode(
-            self.vae_params,
-            c.vae,
-            video,
-            tiled=c.encode_tiled,
-            tile_size=c.encode_tile_size,
-            tile_overlap=c.encode_tile_overlap,
+        return self._with_oom_fallback(
+            "encode",
+            lambda tiled, ts, to: vae_tiling.vae_encode(
+                self.vae_params, c.vae, video, tiled=tiled, tile_size=ts, tile_overlap=to
+            ),
+            c.encode_tiled,
+            c.encode_tile_size,
+            c.encode_tile_overlap,
         )
 
     def vae_decode(self, latent: jnp.ndarray) -> jnp.ndarray:
         c = self.cfg
-        return vae_tiling.vae_decode(
-            self.vae_params,
-            c.vae,
-            latent,
-            tiled=c.decode_tiled,
-            tile_size=c.decode_tile_size,
-            tile_overlap=c.decode_tile_overlap,
+        return self._with_oom_fallback(
+            "decode",
+            lambda tiled, ts, to: vae_tiling.vae_decode(
+                self.vae_params, c.vae, latent, tiled=tiled, tile_size=ts, tile_overlap=to
+            ),
+            c.decode_tiled,
+            c.decode_tile_size,
+            c.decode_tile_overlap,
         )
+
+    def _with_oom_fallback(self, tag, fn, tiled, tile_size, tile_overlap):
+        """TPU analog of the reference's retry_on_oom (reference:
+        memory_manager.py:361-401): on RESOURCE_EXHAUSTED, enable tiling,
+        then keep halving the tile (floor 256px) and retry."""
+        while True:
+            try:
+                return fn(tiled, tile_size, tile_overlap)
+            except Exception as e:  # jaxlib errors don't share one type
+                if "RESOURCE_EXHAUSTED" not in str(e):
+                    raise
+                if not tiled:
+                    tiled, tile_size, tile_overlap = True, (512, 512), (64, 64)
+                elif tile_size[0] > 256:
+                    tile_size = (tile_size[0] // 2, tile_size[1] // 2)
+                    tile_overlap = (max(32, tile_overlap[0] // 2),) * 2
+                else:
+                    raise
+                self.debug.log(
+                    f"HBM exhausted during VAE {tag}; retrying with tiles {tile_size}",
+                    category="memory",
+                    force=True,
+                )
 
     # ------------------------------- DiT ----------------------------------- #
 
