@@ -168,9 +168,13 @@ def tiled_decode(
     z: jnp.ndarray,
     tile_size: Tuple[int, int] = (512, 512),
     tile_overlap: Tuple[int, int] = (64, 64),
+    tile_batch: int = 4,
 ) -> jnp.ndarray:
-    """Reference: attn_video_vae.py:1470-1630. Blending ramps are applied in
-    *pixel* space on decode."""
+    """Reference: attn_video_vae.py:1470-1630, redesigned for the MXU: the
+    latent is edge-padded to a *uniform* tile grid so all tiles share one
+    shape, then tiles are decoded in batches of ``tile_batch`` through a
+    single compiled decoder executable (the reference loops tile-by-tile).
+    Cosine-ramp blending in pixel space is unchanged."""
     B, T, H, W, _ = z.shape
     sf = cfg.spatial_downsample_factor
     lt_h, lt_w = max(1, tile_size[0] // sf), max(1, tile_size[1] // sf)
@@ -179,25 +183,50 @@ def tiled_decode(
     ov_h, ov_w = tile_overlap
     lo_h = max(0, min(ov_h // sf, lt_h - 1))
     lo_w = max(0, min(ov_w // sf, lt_w - 1))
+    sh, sw = max(1, lt_h - lo_h), max(1, lt_w - lo_w)
+
+    if B != 1:
+        # rare path: fall back to per-tile loop semantics via vmap-free calls
+        outs = [
+            tiled_decode(params, cfg, z[i : i + 1], tile_size, tile_overlap, tile_batch)
+            for i in range(B)
+        ]
+        return jnp.concatenate(outs, axis=0)
+
+    # Uniform grid over an edge-padded extent.
+    rows = [r * sh for r in range(max(1, math.ceil((H - lo_h) / sh)))]
+    cols = [c * sw for c in range(max(1, math.ceil((W - lo_w) / sw)))]
+    Hp, Wp = rows[-1] + lt_h, cols[-1] + lt_w
+    zp = jnp.pad(z, ((0, 0), (0, 0), (0, Hp - H), (0, Wp - W), (0, 0)), mode="edge")
+
+    tiles = [(y, x) for y in rows for x in cols]
+    th, tw = lt_h * sf, lt_w * sf
+
+    # Per-tile pixel-space blend weights (interior edges only).
+    weights = []
+    for (y, x) in tiles:
+        wh = _edge_weights(th, min(ov_h, th - 1), y == 0, y == rows[-1])
+        ww = _edge_weights(tw, min(ov_w, tw - 1), x == 0, x == cols[-1])
+        weights.append(np.outer(wh, ww))
+    weights = jnp.asarray(np.stack(weights))  # [n, th, tw]
 
     result = None
-    count = None
-    rows = _tile_grid(H, lt_h, lo_h)
-    cols = _tile_grid(W, lt_w, lo_w)
-    for (y0, y1) in rows:
-        for (x0, x1) in cols:
-            dec = slicing_decode(params, cfg, z[:, :, y0:y1, x0:x1])
-            if result is None:
-                result = jnp.zeros((B, dec.shape[1], H * sf, W * sf, dec.shape[-1]), jnp.float32)
-                count = jnp.zeros((1, 1, H * sf, W * sf, 1), jnp.float32)
-            hy0, hy1 = y0 * sf, y1 * sf
-            hx0, hx1 = x0 * sf, x1 * sf
-            wh = _edge_weights(hy1 - hy0, min(ov_h, hy1 - hy0 - 1), y0 == 0, y1 >= H)
-            ww = _edge_weights(hx1 - hx0, min(ov_w, hx1 - hx0 - 1), x0 == 0, x1 >= W)
-            w2 = jnp.asarray(np.outer(wh, ww))[None, None, :, :, None]
-            result = result.at[:, : dec.shape[1], hy0:hy1, hx0:hx1].add(dec.astype(jnp.float32) * w2)
-            count = count.at[:, :, hy0:hy1, hx0:hx1].add(w2)
-    return (result / jnp.clip(count, 1e-6)).astype(z.dtype)
+    count = jnp.zeros((1, 1, Hp * sf, Wp * sf, 1), jnp.float32)
+    for g0 in range(0, len(tiles), tile_batch):
+        group = tiles[g0 : g0 + tile_batch]
+        batch = jnp.stack([zp[0, :, y : y + lt_h, x : x + lt_w] for (y, x) in group])
+        dec = slicing_decode(params, cfg, batch)  # [g, T', th, tw, 3]
+        if result is None:
+            result = jnp.zeros((1, dec.shape[1], Hp * sf, Wp * sf, 3), jnp.float32)
+        for gi, (y, x) in enumerate(group):
+            w2 = weights[g0 + gi][None, :, :, None]
+            hy, hx = y * sf, x * sf
+            result = result.at[0, :, hy : hy + th, hx : hx + tw].add(
+                dec[gi].astype(jnp.float32) * w2
+            )
+            count = count.at[:, :, hy : hy + th, hx : hx + tw].add(w2[None])
+    out = (result / jnp.clip(count, 1e-6)).astype(z.dtype)
+    return out[:, :, : H * sf, : W * sf]
 
 
 # --------------------------------------------------------------------------- #

@@ -58,8 +58,12 @@ def _check_interrupt(ctx):
 
 
 def _transform_batch(cfg: PipelineConfig, rgb: np.ndarray) -> jnp.ndarray:
-    """[T, H, W, 3] float in [0,1] -> [T, H', W', 3] in [-1,1] on device."""
-    return pipeline_transform(jnp.asarray(rgb), cfg.resolution, cfg.max_resolution)
+    """[T, H, W, 3] float in [0,1] -> [T, H', W', 3] in [-1,1] on device.
+    Frames cross the host link as float16 (half the bytes, >10-bit fidelity)
+    and are widened on device."""
+    if isinstance(rgb, np.ndarray):
+        rgb = jnp.asarray(rgb.astype(np.float16)).astype(jnp.float32)
+    return pipeline_transform(rgb, cfg.resolution, cfg.max_resolution)
 
 
 @jax.jit
@@ -276,6 +280,47 @@ def postprocess_all_batches(
     return ctx
 
 
+def decode_and_postprocess_fused(
+    runner: Runner,
+    ctx: Dict[str, Any],
+    progress_callback: Optional[Callable] = None,
+) -> Dict[str, Any]:
+    """Fast path for the common configuration (temporal_overlap == 0, RGB):
+    phases 3+4 fused per batch. Decoded frames never leave the device as
+    fp32 — trim/color/normalize/uint16 run in one executable and only u16
+    crosses the host link (see Runner.finalize_batch)."""
+    cfg: PipelineConfig = ctx["cfg"]
+    debug: Debug = ctx["debug"]
+    debug.start_timer("phase34_fused")
+    true_h, true_w = ctx["true_dims"]
+    specs = ctx["batches"]
+    images = ctx["input_images"]
+    total = ctx["total_frames"]
+    final = np.zeros((total, true_h, true_w, 3), np.float32)
+    write = 0
+    n = len(ctx["all_upscaled"])
+    for bi, up in enumerate(ctx["all_upscaled"]):
+        _check_interrupt(ctx)
+        debug.start_timer(f"finalize_batch_{bi+1}")
+        dec = runner.vae_decode(jnp.asarray(up)[None])
+        spec = specs[bi]
+        ori = spec.ori_length
+        ref16 = None
+        if cfg.color_correction != "none":
+            video = batching.prepare_batch(images, spec)
+            ref16 = jnp.asarray(video[..., :3].astype(np.float16))
+        out_u16 = runner.finalize_batch(dec, ref16, ori, true_h, true_w)
+        final[write : write + ori] = np.asarray(jax.device_get(out_u16), np.float32) / 65535.0
+        write += ori
+        ctx["all_upscaled"][bi] = None
+        debug.end_timer(f"finalize_batch_{bi+1}", f"Finalized batch {bi+1}/{n}")
+        if progress_callback:
+            progress_callback(bi + 1, n, ori, "Phase 3: Decoding")
+    ctx["final_video"] = final[:write]
+    debug.end_timer("phase34_fused", "Phases 3+4 (fused) complete")
+    return ctx
+
+
 def generate(
     runner: Runner,
     images: np.ndarray,
@@ -288,8 +333,16 @@ def generate(
     ctx = make_context(cfg, debug)
     encode_all_batches(runner, ctx, images, progress_callback)
     upscale_all_batches(runner, ctx, progress_callback)
-    decode_all_batches(runner, ctx, progress_callback)
-    postprocess_all_batches(runner, ctx, progress_callback)
+    fast_path = (
+        ctx["actual_overlap"] == 0
+        and not ctx["is_rgba"]
+        and cfg.prepend_frames == 0
+    )
+    if fast_path:
+        decode_and_postprocess_fused(runner, ctx, progress_callback)
+    else:
+        decode_all_batches(runner, ctx, progress_callback)
+        postprocess_all_batches(runner, ctx, progress_callback)
     return ctx["final_video"]
 
 

@@ -154,6 +154,45 @@ class Runner:
         self._dit_step_cache[key] = fn
         return fn
 
+    # --------------------------- fused finalize ---------------------------- #
+
+    def finalize_batch(
+        self,
+        decoded: jnp.ndarray,  # [1, T, H, W, 3] in [-1, 1] (device)
+        ref_half,  # [T', h, w, 3] float16 in [0, 1] or None
+        ori: int,
+        true_h: int,
+        true_w: int,
+    ) -> jnp.ndarray:
+        """Trim + color-fix + normalize + uint16 pack in ONE executable so
+        only 2 bytes/px ever cross the host link (the dev-tunnel equivalent
+        of minimizing PCIe traffic). Returns [ori, true_h, true_w, 3] u16."""
+        method = self.cfg.color_correction
+        key = ("finalize", method, decoded.shape, None if ref_half is None else ref_half.shape,
+               ori, true_h, true_w)
+        fn = self._dit_step_cache.get(key)
+        if fn is None:
+            cfg = self.cfg
+            from ..ops import color as color_ops
+            from ..ops.resize import pipeline_transform
+
+            def _fn(dec, ref):
+                x = dec[0, :ori, :true_h, :true_w].astype(jnp.float32)
+                if ref is not None and method != "none":
+                    style = pipeline_transform(
+                        ref.astype(jnp.float32), cfg.resolution, cfg.max_resolution
+                    )[:ori, :true_h, :true_w]
+                    content = x.transpose(0, 3, 1, 2)
+                    style = style.transpose(0, 3, 1, 2)
+                    x = color_ops.apply_color_correction(method, content, style)
+                    x = x.transpose(0, 2, 3, 1)
+                out01 = jnp.clip(x * 0.5 + 0.5, 0.0, 1.0)
+                return (out01 * 65535.0 + 0.5).astype(jnp.uint16)
+
+            fn = jax.jit(_fn)
+            self._dit_step_cache[key] = fn
+        return fn(decoded, ref_half)
+
     def upscale(self, latent: jnp.ndarray, seed: int) -> jnp.ndarray:
         """One-step diffusion upscale of a latent batch [B, t, h, w, C]
         (reference: generation_phases.py:654-758 per-batch loop body)."""
