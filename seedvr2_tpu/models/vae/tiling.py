@@ -139,27 +139,49 @@ def tiled_encode(
     if H <= tile_size[0] and W <= tile_size[1]:
         return slicing_encode(params, cfg, x)
 
+    if B != 1:
+        outs = [
+            tiled_encode(params, cfg, x[i : i + 1], tile_size, tile_overlap)
+            for i in range(B)
+        ]
+        return jnp.concatenate(outs, axis=0)
+
+    # Uniform grid over an edge-padded extent; tiles encoded in batches
+    # through one compiled encoder executable (see tiled_decode).
+    sh, sw = max(1, lt_h - lo_h), max(1, lt_w - lo_w)
+    rows = [r * sh for r in range(max(1, math.ceil((H_lat - lo_h) / sh)))]
+    cols = [c * sw for c in range(max(1, math.ceil((W_lat - lo_w) / sw)))]
+    Hp_lat, Wp_lat = rows[-1] + lt_h, cols[-1] + lt_w
+    xp = jnp.pad(
+        x, ((0, 0), (0, 0), (0, Hp_lat * sf - H), (0, Wp_lat * sf - W), (0, 0)), mode="edge"
+    )
+    tiles = [(y, x0) for y in rows for x0 in cols]
+    weights = []
+    for (y, x0) in tiles:
+        wh = _edge_weights(lt_h, min(lo_h, lt_h - 1), y == 0, y == rows[-1])
+        ww = _edge_weights(lt_w, min(lo_w, lt_w - 1), x0 == 0, x0 == cols[-1])
+        weights.append(np.outer(wh, ww))
+    weights = jnp.asarray(np.stack(weights))
+
+    tile_batch = 4
     result = None
-    count = None
-    rows = _tile_grid(H_lat, lt_h, lo_h)
-    cols = _tile_grid(W_lat, lt_w, lo_w)
-    for (y0, y1) in rows:
-        for (x0, x1) in cols:
-            py0, py1 = y0 * sf, min(y1 * sf, H)
-            px0, px1 = x0 * sf, min(x1 * sf, W)
-            enc = slicing_encode(params, cfg, x[:, :, py0:py1, px0:px1])
-            if result is None:
-                result = jnp.zeros((B, enc.shape[1], H_lat, W_lat, enc.shape[-1]), jnp.float32)
-                count = jnp.zeros((1, 1, H_lat, W_lat, 1), jnp.float32)
-            eh = min(y1 - y0, enc.shape[2], H_lat - y0)
-            ew = min(x1 - x0, enc.shape[3], W_lat - x0)
-            enc = enc[:, : result.shape[1], :eh, :ew].astype(jnp.float32)
-            wh = _edge_weights(eh, min(lo_h, eh - 1), y0 == 0, y1 >= H_lat)
-            ww = _edge_weights(ew, min(lo_w, ew - 1), x0 == 0, x1 >= W_lat)
-            w2 = jnp.asarray(np.outer(wh, ww))[None, None, :, :, None]
-            result = result.at[:, :, y0 : y0 + eh, x0 : x0 + ew].add(enc * w2)
-            count = count.at[:, :, y0 : y0 + eh, x0 : x0 + ew].add(w2)
-    return (result / jnp.clip(count, 1e-6)).astype(x.dtype)
+    count = jnp.zeros((1, 1, Hp_lat, Wp_lat, 1), jnp.float32)
+    for g0 in range(0, len(tiles), tile_batch):
+        group = tiles[g0 : g0 + tile_batch]
+        batch = jnp.stack(
+            [xp[0, :, y * sf : (y + lt_h) * sf, x0 * sf : (x0 + lt_w) * sf] for (y, x0) in group]
+        )
+        enc = slicing_encode(params, cfg, batch)  # [g, T', lt_h, lt_w, 2C]
+        if result is None:
+            result = jnp.zeros((1, enc.shape[1], Hp_lat, Wp_lat, enc.shape[-1]), jnp.float32)
+        for gi, (y, x0) in enumerate(group):
+            w2 = weights[g0 + gi][None, :, :, None]
+            result = result.at[0, :, y : y + lt_h, x0 : x0 + lt_w].add(
+                enc[gi].astype(jnp.float32) * w2
+            )
+            count = count.at[:, :, y : y + lt_h, x0 : x0 + lt_w].add(w2[None])
+    out = (result / jnp.clip(count, 1e-6)).astype(x.dtype)
+    return out[:, :, :H_lat, :W_lat]
 
 
 def tiled_decode(
