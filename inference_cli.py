@@ -59,6 +59,13 @@ def parse_arguments(argv: Optional[List[str]] = None) -> argparse.Namespace:
     p.add_argument("--attention_mode", type=str, default="pallas",
                    choices=["pallas", "xla", "sdpa", "flash_attn_2", "flash_attn_3", "sageattn_2", "sageattn_3"])
     p.add_argument("--debug", action="store_true")
+    p.add_argument(
+        "--quantize",
+        type=str,
+        default="none",
+        choices=["none", "int8"],
+        help="int8 weight-only DiT storage (TPU analog of the fp8/GGUF VRAM tiers)",
+    )
     p.add_argument("--fps", type=float, default=0.0, help="override output fps")
     # mesh layout
     p.add_argument("--mesh", type=str, default="auto", help="auto or 'data,seq,tensor' e.g. 2,2,2")
@@ -138,6 +145,19 @@ def build_runner(args):
     debug.log(f"Loading VAE weights: {vae_path}", category="vae", force=True)
     vae_params = weights.load_vae_params(vae_path, cfg.vae, template_vae, np.float32)
     vae_params = jax.tree.map(lambda x: jnp.asarray(x, dtype), vae_params)
+
+    # GGUF sources stay quantized at rest (int8) like the reference's
+    # dequant-on-use GGUF layers; explicit --quantize int8 covers fp16 ckpts.
+    if args.quantize == "int8" or dit_name.endswith(".gguf"):
+        from seedvr2_tpu.ops.quant import quantize_dit_params, tree_bytes
+
+        before = tree_bytes(dit_params)
+        dit_params = quantize_dit_params(dit_params)
+        debug.log(
+            f"int8 weight-only DiT: {before / 1e9:.1f}GB -> {tree_bytes(dit_params) / 1e9:.1f}GB",
+            category="memory",
+            force=True,
+        )
 
     emb_dir = os.path.dirname(os.path.abspath(__file__))
     pos, neg = weights.load_text_embeddings(emb_dir)

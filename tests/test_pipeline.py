@@ -91,6 +91,33 @@ def test_rgba_path(runner_cfg):
     assert out[..., 3].min() >= 0.0 and out[..., 3].max() <= 1.0
 
 
+def test_fused_fast_path_matches_legacy():
+    """The fused decode+color+u16 path must match the two-phase path to
+    uint16 rounding."""
+    runner, cfg = _make_runner(color_correction="wavelet")
+    frames = _frames(t=5, seed=7)
+    ctx = phases.make_context(cfg)
+    phases.encode_all_batches(runner, ctx, frames)
+    phases.upscale_all_batches(runner, ctx)
+    import copy
+
+    upscaled = [np.asarray(u) for u in ctx["all_upscaled"]]
+
+    ctx_fast = dict(ctx)
+    ctx_fast["all_upscaled"] = [u.copy() for u in upscaled]
+    phases.decode_and_postprocess_fused(runner, ctx_fast)
+    fast = ctx_fast["final_video"]
+
+    ctx_legacy = dict(ctx)
+    ctx_legacy["all_upscaled"] = [u.copy() for u in upscaled]
+    phases.decode_all_batches(runner, ctx_legacy)
+    phases.postprocess_all_batches(runner, ctx_legacy)
+    legacy = ctx_legacy["final_video"]
+
+    assert fast.shape == legacy.shape
+    np.testing.assert_allclose(fast, legacy, atol=2.0 / 65535 + 1e-4)
+
+
 def test_temporal_overlap_run():
     runner, cfg = _make_runner(temporal_overlap=2, color_correction="none")
     frames = _frames(t=11, seed=4)
