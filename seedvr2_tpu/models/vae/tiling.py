@@ -190,7 +190,7 @@ def tiled_decode(
     z: jnp.ndarray,
     tile_size: Tuple[int, int] = (512, 512),
     tile_overlap: Tuple[int, int] = (64, 64),
-    tile_batch: int = 4,
+    tile_batch: int = 2,
 ) -> jnp.ndarray:
     """Reference: attn_video_vae.py:1470-1630, redesigned for the MXU: the
     latent is edge-padded to a *uniform* tile grid so all tiles share one
