@@ -220,7 +220,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                 vio.write_png_sequence(os.path.splitext(out_path)[0], out, start_index=n_frames)
             else:
                 if writer is None:
-                    writer = vio.FFmpegWriter(
+                    writer = vio.make_video_writer(
                         out_path, out.shape[2], out.shape[1], fps, audio_source=args.input
                     )
                 writer.write(out[..., :3])

@@ -164,6 +164,40 @@ class FFmpegWriter:
             raise RuntimeError(f"ffmpeg exited with {ret}")
 
 
+class CV2Writer:
+    """8-bit mp4 fallback when ffmpeg is unavailable (the reference requires
+    ffmpeg for video output; we degrade gracefully instead)."""
+
+    def __init__(self, path: str, width: int, height: int, fps: float, **_kw):
+        import cv2
+
+        fourcc = cv2.VideoWriter_fourcc(*"mp4v")
+        self.writer = cv2.VideoWriter(path, fourcc, fps, (width, height))
+
+    def write(self, frames01: np.ndarray) -> None:
+        import cv2
+
+        for f in frames01:
+            bgr = cv2.cvtColor(frameops.f32_to_u8(f), cv2.COLOR_RGB2BGR)
+            self.writer.write(bgr)
+
+    def close(self) -> None:
+        self.writer.release()
+
+
+def have_ffmpeg() -> bool:
+    import shutil
+
+    return shutil.which("ffmpeg") is not None
+
+
+def make_video_writer(path: str, width: int, height: int, fps: float, **kw):
+    """10-bit x265 via ffmpeg when present, else 8-bit cv2 mp4."""
+    if have_ffmpeg():
+        return FFmpegWriter(path, width, height, fps, **kw)
+    return CV2Writer(path, width, height, fps)
+
+
 def write_png_sequence(directory: str, frames01: np.ndarray, start_index: int = 0, prefix: str = "frame") -> None:
     """reference: save_frames_to_image, inference_cli.py:786-824."""
     os.makedirs(directory, exist_ok=True)

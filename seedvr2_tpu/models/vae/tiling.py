@@ -163,7 +163,7 @@ def tiled_encode(
         weights.append(np.outer(wh, ww))
     weights = jnp.asarray(np.stack(weights))
 
-    tile_batch = 4
+    tile_batch = 1
     result = None
     count = jnp.zeros((1, 1, Hp_lat, Wp_lat, 1), jnp.float32)
     for g0 in range(0, len(tiles), tile_batch):
@@ -190,7 +190,7 @@ def tiled_decode(
     z: jnp.ndarray,
     tile_size: Tuple[int, int] = (512, 512),
     tile_overlap: Tuple[int, int] = (64, 64),
-    tile_batch: int = 2,
+    tile_batch: int = 1,
 ) -> jnp.ndarray:
     """Reference: attn_video_vae.py:1470-1630, redesigned for the MXU: the
     latent is edge-padded to a *uniform* tile grid so all tiles share one

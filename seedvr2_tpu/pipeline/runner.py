@@ -88,7 +88,8 @@ class Runner:
         then keep halving the tile (floor 256px) and retry."""
         while True:
             try:
-                return fn(tiled, tile_size, tile_overlap)
+                # block so async RESOURCE_EXHAUSTED surfaces inside the retry
+                return jax.block_until_ready(fn(tiled, tile_size, tile_overlap))
             except Exception as e:  # jaxlib errors don't share one type
                 if "RESOURCE_EXHAUSTED" not in str(e):
                     raise
