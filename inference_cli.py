@@ -71,13 +71,16 @@ def parse_arguments(argv: Optional[List[str]] = None) -> argparse.Namespace:
     p.add_argument("--mesh", type=str, default="auto", help="auto or 'data,seq,tensor' e.g. 2,2,2")
     # Reference CUDA-only flags: accepted, ignored (BlockSwap/compile/offload
     # are replaced by GSPMD sharding + jax.jit on TPU).
+    p.add_argument("--tile_debug", type=str, default="false",
+                   choices=["false", "encode", "decode"],
+                   help="draw VAE tile boundaries on the output")
     for flag in [
         "--blocks_to_swap", "--swap_io_components", "--cuda_device",
         "--dit_offload_device", "--vae_offload_device", "--tensor_offload_device",
         "--compile_dit", "--compile_vae", "--compile_mode", "--compile_backend",
         "--compile_fullgraph", "--compile_dynamic", "--compile_dynamo_cache_size_limit",
         "--compile_dynamo_recompile_limit", "--cache_dit", "--cache_vae",
-        "--video_backend", "--tile_debug",
+        "--video_backend",
     ]:
         p.add_argument(flag, nargs="?", default=None, help=argparse.SUPPRESS)
     return p.parse_args(argv)
@@ -164,14 +167,25 @@ def build_runner(args):
     return Runner(cfg, dit_params, vae_params, pos, neg, debug=debug), cfg, debug
 
 
-def process_frames(runner, cfg, frames: np.ndarray, debug, mesh=None):
+def process_frames(runner, cfg, frames: np.ndarray, debug, mesh=None, tile_debug="false"):
     if mesh is not None and mesh.shape.get("data", 1) > 1:
         from seedvr2_tpu.pipeline.multichip import generate_multichip
 
-        return generate_multichip(runner, frames, mesh, debug=debug)
-    from seedvr2_tpu.pipeline import phases
+        out = generate_multichip(runner, frames, mesh, debug=debug)
+    else:
+        from seedvr2_tpu.pipeline import phases
 
-    return phases.generate(runner, frames, cfg, debug)
+        out = phases.generate(runner, frames, cfg, debug)
+    if tile_debug in ("encode", "decode"):
+        from seedvr2_tpu.utils.tile_debug import draw_tile_boundaries, tile_boundaries
+
+        tiled = cfg.encode_tiled if tile_debug == "encode" else cfg.decode_tiled
+        if tiled:
+            ts = cfg.encode_tile_size if tile_debug == "encode" else cfg.decode_tile_size
+            to = cfg.encode_tile_overlap if tile_debug == "encode" else cfg.decode_tile_overlap
+            bounds = tile_boundaries(out.shape[1], out.shape[2], ts, to)
+            out = draw_tile_boundaries(out, bounds)
+    return out
 
 
 def build_mesh(args):
@@ -215,7 +229,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         for frames in reader.chunks(chunk, args.temporal_overlap if args.chunk_size else 0):
             if args.load_cap and n_frames >= args.load_cap:
                 break
-            out = process_frames(runner, cfg, frames, debug, mesh)
+            out = process_frames(runner, cfg, frames, debug, mesh, args.tile_debug)
             if args.output_format == "png":
                 vio.write_png_sequence(os.path.splitext(out_path)[0], out, start_index=n_frames)
             else:

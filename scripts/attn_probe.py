@@ -17,14 +17,17 @@ from seedvr2_tpu.pipeline.runner import Runner
 from seedvr2_tpu.utils.debug import Debug
 
 
+def _sync(x):
+    # axon's block_until_ready does not actually block; a scalar fetch does.
+    return float(jnp.sum(x.astype(jnp.float32)))
+
+
 def time_step(runner, latent, n=3):
-    out = runner.upscale(latent, 42)
-    jax.block_until_ready(out)
+    _sync(runner.upscale(latent, 42))
     ts = []
     for _ in range(n):
         t0 = time.perf_counter()
-        out = runner.upscale(latent, 42)
-        jax.block_until_ready(out)
+        _sync(runner.upscale(latent, 42))
         ts.append(time.perf_counter() - t0)
     return min(ts)
 
