@@ -39,7 +39,7 @@ import numpy as np
 from ...config import DiTConfig
 from ...ops.attention import attention
 from ...ops.normalization import rms_norm
-from ...ops.rope import apply_rotary, axial_freqs_lang, axial_freqs_pixel
+from ...ops.rope import apply_rotary, axial_freqs_lang, axial_freqs_pixel, pad_angles
 from ...parallel.sp import constrain_attn_io, constrain_tokens, constrain_windows
 from .windows import WindowPlan, window_plan
 
@@ -84,13 +84,13 @@ def _rope_angles_for_plan(
             vid[i, : t * h * w] = a.reshape(-1, rot3)
         txt_axis = axial_freqs_lang((txt_len,), per) if txt_len else np.zeros((0, per), np.float32)
         txt = np.tile(txt_axis.reshape(txt_len, per), (1, 3)).astype(np.float32)
-        return vid, txt
+        return pad_angles(vid, cfg.head_dim), pad_angles(txt, cfg.head_dim)
     if cfg.rope_type == "window_pixel":
         per = (cfg.rope_dim // 3) & ~1
         for i, (t, h, w) in enumerate(plan.shapes):
             a = axial_freqs_pixel((t, h, w), per)
             vid[i, : t * h * w] = a.reshape(-1, rot3)
-        return vid, None  # 7B does not rope text
+        return pad_angles(vid, cfg.head_dim), None  # 7B does not rope text
     if cfg.rope_type in (None, "none"):
         return None, None
     raise NotImplementedError(cfg.rope_type)

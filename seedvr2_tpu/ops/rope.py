@@ -110,20 +110,36 @@ def window_pixel_freqs(win_thw: Tuple[int, int, int], rope_dim: int, max_freq: f
     return f.reshape(t * h * w, 3 * per)
 
 
+def pad_angles(angles: np.ndarray, dim: int) -> np.ndarray:
+    """Zero-pad per-position angle tables to the full head dim. A zero angle
+    is an exact identity rotation (cos=1, sin=0), so full-width application
+    equals the reference's rotate-first-R-dims semantics while avoiding the
+    slice/concat the partial form costs on TPU (these showed up as ~5% of
+    the DiT step in profiles)."""
+    r = angles.shape[-1]
+    if r == dim:
+        return angles
+    pad = [(0, 0)] * (angles.ndim - 1) + [(0, dim - r)]
+    return np.pad(angles, pad)
+
+
 def apply_rotary(x: jnp.ndarray, angles: jnp.ndarray) -> jnp.ndarray:
     """Rotate the leading ``angles.shape[-1]`` channels of ``x``.
 
     x: [..., L, D]; angles: broadcastable [..., L, R] with R <= D (R even).
     Pairs are interleaved GPT-J style: (x0, x1) -> (x0 c - x1 s, x1 c + x0 s).
-    Computation in float32, result cast back to x.dtype.
+    Computation in float32, result cast back to x.dtype. When R == D the
+    slice/concat is skipped entirely (see pad_angles).
     """
     r = angles.shape[-1]
     dtype = x.dtype
-    xf = x[..., :r].astype(jnp.float32)
-    rest = x[..., r:]
+    full = r == x.shape[-1]
+    xf = (x if full else x[..., :r]).astype(jnp.float32)
     cos = jnp.cos(angles)
     sin = jnp.sin(angles)
     x2 = xf.reshape(xf.shape[:-1] + (r // 2, 2))
     rot = jnp.stack([-x2[..., 1], x2[..., 0]], axis=-1).reshape(xf.shape)
-    out = xf * cos + rot * sin
-    return jnp.concatenate([out.astype(dtype), rest], axis=-1)
+    out = (xf * cos + rot * sin).astype(dtype)
+    if full:
+        return out
+    return jnp.concatenate([out, x[..., r:]], axis=-1)
