@@ -27,10 +27,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float):
-    S, D = q_ref.shape[1], q_ref.shape[3]
-    q = q_ref[...].reshape(S, D)
-    k = k_ref[...].reshape(S, D)
-    v = v_ref[...].reshape(S, D)
+    S, D = q_ref.shape[1], q_ref.shape[2]
+    q = q_ref[0]  # [S, D]
+    k = k_ref[0]
+    v = v_ref[0]
     mask = mask_ref[0]  # [1, S] bool (broadcast over queries)
     s = jax.lax.dot_general(
         q,
@@ -50,7 +50,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float):
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    o_ref[...] = o.astype(o_ref.dtype).reshape(o_ref.shape)
+    o_ref[0] = o.astype(o_ref.dtype)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -59,33 +59,37 @@ def _round_up(x: int, m: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _flash_attention_padded(q, k, v, kv_valid, interpret=False):
-    """Kernel consumes [B, S, H, D] directly — per-(batch, head) programs
-    DMA a strided (S, D) tile; no host-visible transpose copies (these cost
-    ~220ms/step in the XLA path per profile)."""
+    """Mosaic requires the last two block dims to be (8k, 128k)-aligned, so
+    heads are hoisted to a leading program dimension ([B,S,H,D] ->
+    [B*H,S,D]); the transposes are bandwidth-trivial next to the attention
+    matmuls."""
     B, S, H, D = q.shape
     scale = 1.0 / float(np.sqrt(D))
-    mask = kv_valid[:, None, :]  # [B, 1, S]
+    qt = q.transpose(0, 2, 1, 3).reshape(B * H, S, D)
+    kt = k.transpose(0, 2, 1, 3).reshape(B * H, S, D)
+    vt = v.transpose(0, 2, 1, 3).reshape(B * H, S, D)
+    mask = jnp.broadcast_to(kv_valid[:, None, None, :], (B, H, 1, S)).reshape(B * H, 1, S)
 
-    qspec = pl.BlockSpec((1, S, 1, D), lambda b, h: (b, 0, h, 0), memory_space=pltpu.VMEM)
+    spec = pl.BlockSpec((1, S, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_attn_kernel, scale=scale),
-        grid=(B, H),
+        grid=(B * H,),
         in_specs=[
-            qspec,
-            qspec,
-            qspec,
-            pl.BlockSpec((1, 1, S), lambda b, h: (b, 0, 0), memory_space=pltpu.VMEM),
+            spec,
+            spec,
+            spec,
+            pl.BlockSpec((1, 1, S), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=qspec,
-        out_shape=jax.ShapeDtypeStruct((B, S, H, D), q.dtype),
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((B * H, S, D), q.dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=4 * B * H * S * S * D,
             bytes_accessed=4 * B * H * S * D * q.dtype.itemsize,
             transcendentals=B * H * S * S,
         ),
-    )(q, k, v, mask)
-    return out
+    )(qt, kt, vt, mask)
+    return out.reshape(B, H, S, D).transpose(0, 2, 1, 3)
 
 
 def flash_attention(
