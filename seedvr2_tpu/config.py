@@ -226,6 +226,11 @@ class PipelineConfig:
     # noise level applied to SR condition latent (cfg condition.noise_scale=0.25
     # in reference yaml is folded into aug-noise at generation_phases.py:683)
     compute_dtype: str = "bfloat16"
+    # Keep DiT weights on device only during phase 2 (the analog of the
+    # reference's phase-wise model offload, memory_manager.py:670-929).
+    # Frees HBM for untiled VAE decode on small-HBM single-chip setups at
+    # the cost of one host->device weight upload per run. Off by default.
+    phased_weights: bool = False
 
     def replace(self, **kw) -> "PipelineConfig":
         return dataclasses.replace(self, **kw)

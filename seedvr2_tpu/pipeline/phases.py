@@ -170,6 +170,7 @@ def upscale_all_batches(
         debug.end_timer(f"upscale_batch_{bi+1}", f"Upscaled batch {bi+1}/{n}")
         if progress_callback:
             progress_callback(bi + 1, n, 1, "Phase 2: Upscaling")
+    runner.release_dit()  # free HBM for decode when cfg.phased_weights
     debug.end_timer("phase2_upscaling", "Phase 2: DiT upscaling complete")
     return ctx
 

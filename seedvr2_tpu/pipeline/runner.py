@@ -40,6 +40,7 @@ class Runner:
         self.cfg = cfg
         self.dit_params = dit_params
         self.vae_params = vae_params
+        self._dit_host = None  # host copy when cfg.phased_weights
         self.text_pos = jnp.asarray(text_pos)[None]  # [1, Lt, C]
         self.text_neg = jnp.asarray(text_neg)[None] if text_neg is not None else None
         self.debug = debug or Debug()
@@ -197,7 +198,27 @@ class Runner:
     def upscale(self, latent: jnp.ndarray, seed: int) -> jnp.ndarray:
         """One-step diffusion upscale of a latent batch [B, t, h, w, C]
         (reference: generation_phases.py:654-758 per-batch loop body)."""
+        self.ensure_dit_resident()
         thw = tuple(int(d) for d in latent.shape[1:4])
         step = self._dit_step(thw, int(self.text_pos.shape[1]))
         rng = batch_key(seed, "dit")
         return step(self.dit_params, latent, self.text_pos, rng)
+
+    # ------------------------- phased weight residency ---------------------- #
+
+    def ensure_dit_resident(self) -> None:
+        if self.dit_params is None and self._dit_host is not None:
+            self.dit_params = jax.tree.map(jnp.asarray, self._dit_host)
+
+    def release_dit(self) -> None:
+        """Drop DiT weights from HBM between phase 2 runs (the reference's
+        phase-wise offload, memory_manager.py:1011-1097). No-op unless
+        cfg.phased_weights."""
+        if not self.cfg.phased_weights:
+            return
+        if self._dit_host is None and self.dit_params is not None:
+            self._dit_host = jax.device_get(self.dit_params)
+        self.dit_params = None
+        self._dit_step_cache = {
+            k: v for k, v in self._dit_step_cache.items() if k[0] == "finalize"
+        }
