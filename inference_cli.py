@@ -134,19 +134,22 @@ def build_runner(args):
     template_dit = jax.eval_shape(lambda k: init_dit(cfg.dit, k, dtype), jax.random.PRNGKey(0))
     template_vae = jax.eval_shape(lambda k: init_vae_params(cfg.vae, k, dtype), jax.random.PRNGKey(0))
 
-    if os.path.exists(dit_path):
-        debug.log(f"Loading DiT weights: {dit_path}", category="dit", force=True)
-        dit_params = weights.load_dit_params(dit_path, cfg.dit, template_dit, np.float32)
-        dit_params = jax.tree.map(lambda x: jnp.asarray(x, dtype), dit_params)
-    else:
+    from seedvr2_tpu.io import native_ckpt
+
+    if not os.path.exists(dit_path):
         registry.download_model(dit_name, args.model_dir)
-        dit_params = weights.load_dit_params(dit_path, cfg.dit, template_dit, np.float32)
-        dit_params = jax.tree.map(lambda x: jnp.asarray(x, dtype), dit_params)
+    debug.log(f"Loading DiT weights: {dit_path}", category="dit", force=True)
+    dit_params = native_ckpt.load_or_convert(
+        dit_path, lambda p: weights.load_dit_params(p, cfg.dit, template_dit, np.float32)
+    )
+    dit_params = jax.tree.map(lambda x: jnp.asarray(x, dtype), dit_params)
 
     if not os.path.exists(vae_path):
         registry.download_model(args.vae_model, args.model_dir)
     debug.log(f"Loading VAE weights: {vae_path}", category="vae", force=True)
-    vae_params = weights.load_vae_params(vae_path, cfg.vae, template_vae, np.float32)
+    vae_params = native_ckpt.load_or_convert(
+        vae_path, lambda p: weights.load_vae_params(p, cfg.vae, template_vae, np.float32)
+    )
     vae_params = jax.tree.map(lambda x: jnp.asarray(x, dtype), vae_params)
 
     # GGUF sources stay quantized at rest (int8) like the reference's
