@@ -117,6 +117,27 @@ def test_full_config_param_shapes():
             assert set(shapes["vid_out_ada"]["vid"]) == {"out_shift", "out_scale"}
 
 
+def test_full_configs_forward_shapes_abstractly():
+    """Trace the REAL 3B and 7B forwards with eval_shape (no allocation):
+    catches dim mismatches in the full-size configs."""
+    for cfg in (dit_3b(), dit_7b()):
+        thw, txt_len = (1, 8, 8), 7
+        plans = build_attn_plans(cfg, thw, txt_len)
+
+        def fwd(params, vid, txt, t):
+            return nadit_forward(params, cfg, vid, txt, t, plans)
+
+        params_shape = jax.eval_shape(lambda k: init_params(cfg, k, jnp.bfloat16), jax.random.PRNGKey(0))
+        out = jax.eval_shape(
+            fwd,
+            params_shape,
+            jax.ShapeDtypeStruct((1, 1, 16, 16, cfg.vid_in_channels), jnp.bfloat16),
+            jax.ShapeDtypeStruct((1, txt_len, cfg.txt_in_dim), jnp.bfloat16),
+            jax.ShapeDtypeStruct((1,), jnp.float32),
+        )
+        assert out.shape == (1, 1, 16, 16, cfg.vid_out_channels)
+
+
 def test_single_window_txt_passthrough():
     """With one window, txt coalescing (mean over 1) must be exact: compare
     against a hand-computed dense attention for a 1-layer model."""
