@@ -59,6 +59,7 @@ def parse_arguments(argv: Optional[List[str]] = None) -> argparse.Namespace:
     p.add_argument("--attention_mode", type=str, default="pallas",
                    choices=["pallas", "xla", "sdpa", "flash_attn_2", "flash_attn_3", "sageattn_2", "sageattn_3"])
     p.add_argument("--debug", action="store_true")
+    p.add_argument("--resume", action="store_true", help="resume an interrupted chunked run")
     p.add_argument(
         "--quantize",
         type=str,
@@ -227,14 +228,38 @@ def main(argv: Optional[List[str]] = None) -> int:
             reader.seek(args.skip_first_frames)
         fps = args.fps or reader.fps
         out_path = args.output or _default_out(args.input, "mp4")
-        writer = None
         chunk = args.chunk_size or (args.load_cap or reader.total_frames)
+
+        manifest = None
+        start_chunk = 0
+        if args.chunk_size and args.output_format == "video" and args.temporal_overlap == 0:
+            from seedvr2_tpu.io.resume import ResumeManifest
+
+            total = reader.total_frames - args.skip_first_frames
+            if args.resume:
+                manifest = ResumeManifest.load_if_matching(out_path, args.input, total, chunk)
+                if manifest:
+                    start_chunk = manifest.chunks_done
+                    reader.seek(args.skip_first_frames + start_chunk * chunk)
+                    n_frames = start_chunk * chunk
+                    print(f"Resuming from chunk {start_chunk} ({n_frames} frames done)")
+            if manifest is None:
+                manifest = ResumeManifest(out_path, args.input, total, chunk)
+
+        writer = None
+        ci = start_chunk
         for frames in reader.chunks(chunk, args.temporal_overlap if args.chunk_size else 0):
             if args.load_cap and n_frames >= args.load_cap:
                 break
             out = process_frames(runner, cfg, frames, debug, mesh, args.tile_debug)
             if args.output_format == "png":
                 vio.write_png_sequence(os.path.splitext(out_path)[0], out, start_index=n_frames)
+            elif manifest is not None:
+                seg = manifest.segment_path(ci)
+                w = vio.make_video_writer(seg, out.shape[2], out.shape[1], fps)
+                w.write(out[..., :3])
+                w.close()
+                manifest.mark_done(ci, seg)
             else:
                 if writer is None:
                     writer = vio.make_video_writer(
@@ -242,10 +267,13 @@ def main(argv: Optional[List[str]] = None) -> int:
                     )
                 writer.write(out[..., :3])
             n_frames += len(frames)
+            ci += 1
             if not args.chunk_size:
                 break
         if writer is not None:
             writer.close()
+        if manifest is not None:
+            out_path = manifest.finalize()
         reader.close()
         print(f"Saved {out_path}")
     else:  # directory

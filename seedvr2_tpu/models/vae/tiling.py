@@ -191,6 +191,7 @@ def tiled_decode(
     tile_size: Tuple[int, int] = (512, 512),
     tile_overlap: Tuple[int, int] = (64, 64),
     tile_batch: int = 1,
+    tile_sharding=None,  # NamedSharding over the tile-batch dim (multi-chip)
 ) -> jnp.ndarray:
     """Reference: attn_video_vae.py:1470-1630, redesigned for the MXU: the
     latent is edge-padded to a *uniform* tile grid so all tiles share one
@@ -237,6 +238,11 @@ def tiled_decode(
     for g0 in range(0, len(tiles), tile_batch):
         group = tiles[g0 : g0 + tile_batch]
         batch = jnp.stack([zp[0, :, y : y + lt_h, x : x + lt_w] for (y, x) in group])
+        if tile_sharding is not None and len(group) == tile_batch:
+            # distribute tiles across the mesh's data axis: on an N-chip
+            # slice the spatial tiling becomes tile parallelism (SURVEY §2.3
+            # "VAE tiles sharded across mesh devices")
+            batch = jax.device_put(batch, tile_sharding)
         dec = slicing_decode(params, cfg, batch)  # [g, T', th, tw, 3]
         if result is None:
             result = jnp.zeros((1, dec.shape[1], Hp * sf, Wp * sf, 3), jnp.float32)
