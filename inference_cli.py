@@ -88,26 +88,18 @@ def parse_arguments(argv: Optional[List[str]] = None) -> argparse.Namespace:
 
 
 def build_runner(args):
-    import jax
-
-    from seedvr2_tpu.config import PipelineConfig, dit_3b, dit_7b, vae_config
-    from seedvr2_tpu.io import registry, weights
+    from seedvr2_tpu.config import PipelineConfig, dit_3b, vae_config
     from seedvr2_tpu.io.registry import DEFAULT_DIT
-    from seedvr2_tpu.models.dit.nadit import init_params as init_dit
-    from seedvr2_tpu.models.vae.model import init_vae_params
     from seedvr2_tpu.ops.attention import set_attention_backend
-    from seedvr2_tpu.pipeline.runner import Runner
+    from seedvr2_tpu.pipeline.loader import load_runner
     from seedvr2_tpu.utils.debug import Debug
 
     debug = Debug(enabled=args.debug)
     debug.environment_report()
     set_attention_backend(args.attention_mode)
 
-    dit_name = args.dit_model or DEFAULT_DIT
-    variant = registry.model_variant(dit_name)
-    dit_cfg = dit_7b() if variant == "7b" else dit_3b()
     cfg = PipelineConfig(
-        dit=dit_cfg,
+        dit=dit_3b(),  # variant fixed up by load_runner from the model name
         vae=vae_config(),
         resolution=args.resolution,
         max_resolution=args.max_resolution,
@@ -126,49 +118,16 @@ def build_runner(args):
         decode_tile_size=tuple(args.vae_decode_tile_size),
         decode_tile_overlap=tuple(args.vae_decode_tile_overlap),
     )
-
-    import jax.numpy as jnp
-
-    dtype = jnp.bfloat16
-    dit_path = os.path.join(args.model_dir, dit_name)
-    vae_path = os.path.join(args.model_dir, args.vae_model)
-    template_dit = jax.eval_shape(lambda k: init_dit(cfg.dit, k, dtype), jax.random.PRNGKey(0))
-    template_vae = jax.eval_shape(lambda k: init_vae_params(cfg.vae, k, dtype), jax.random.PRNGKey(0))
-
-    from seedvr2_tpu.io import native_ckpt
-
-    if not os.path.exists(dit_path):
-        registry.download_model(dit_name, args.model_dir)
-    debug.log(f"Loading DiT weights: {dit_path}", category="dit", force=True)
-    dit_params = native_ckpt.load_or_convert(
-        dit_path, lambda p: weights.load_dit_params(p, cfg.dit, template_dit, np.float32)
+    runner = load_runner(
+        dit_model=args.dit_model or DEFAULT_DIT,
+        vae_model=args.vae_model,
+        model_dir=args.model_dir,
+        cfg=cfg,
+        quantize=None if args.quantize == "none" else args.quantize,
+        debug=debug,
+        emb_dir=os.path.dirname(os.path.abspath(__file__)),
     )
-    dit_params = jax.tree.map(lambda x: jnp.asarray(x, dtype), dit_params)
-
-    if not os.path.exists(vae_path):
-        registry.download_model(args.vae_model, args.model_dir)
-    debug.log(f"Loading VAE weights: {vae_path}", category="vae", force=True)
-    vae_params = native_ckpt.load_or_convert(
-        vae_path, lambda p: weights.load_vae_params(p, cfg.vae, template_vae, np.float32)
-    )
-    vae_params = jax.tree.map(lambda x: jnp.asarray(x, dtype), vae_params)
-
-    # GGUF sources stay quantized at rest (int8) like the reference's
-    # dequant-on-use GGUF layers; explicit --quantize int8 covers fp16 ckpts.
-    if args.quantize == "int8" or dit_name.endswith(".gguf"):
-        from seedvr2_tpu.ops.quant import quantize_dit_params, tree_bytes
-
-        before = tree_bytes(dit_params)
-        dit_params = quantize_dit_params(dit_params)
-        debug.log(
-            f"int8 weight-only DiT: {before / 1e9:.1f}GB -> {tree_bytes(dit_params) / 1e9:.1f}GB",
-            category="memory",
-            force=True,
-        )
-
-    emb_dir = os.path.dirname(os.path.abspath(__file__))
-    pos, neg = weights.load_text_embeddings(emb_dir)
-    return Runner(cfg, dit_params, vae_params, pos, neg, debug=debug), cfg, debug
+    return runner, runner.cfg, debug
 
 
 def process_frames(runner, cfg, frames: np.ndarray, debug, mesh=None, tile_debug="false"):

@@ -74,11 +74,13 @@ def _quantize_tree(tree, min_size=_QUANT_MIN_SIZE):
     return tree
 
 
-def quantize_dit_params(params, min_size: int = _QUANT_MIN_SIZE) -> Dict:
+def quantize_dit_params(params, min_size: int = None) -> Dict:
     """Quantize every large linear in a DiT param tree (blocks only; patch
     in/out and embeddings stay bf16 — they are <1% of bytes and
     quality-sensitive, mirroring the reference's mixed-precision fp8
     checkpoints that keep block 35 / IO in fp16)."""
+    if min_size is None:
+        min_size = _QUANT_MIN_SIZE
     out = dict(params)
     out["blocks"] = [_quantize_tree(b, min_size) for b in params["blocks"]]
     return out
