@@ -223,16 +223,8 @@ class SeedVR2VideoUpscaler:
     def _get_runner(self, dit, vae, resolution, max_resolution, batch_size,
                     uniform, overlap, prepend, seed, color, in_noise, lat_noise,
                     model_dir, debug):
-        import os
-
-        import jax
-        import jax.numpy as jnp
-
-        from .io import weights
-        from .models.dit.nadit import init_params as init_dit
-        from .models.vae.model import init_vae_params
         from .ops.attention import set_attention_backend
-        from .pipeline.runner import Runner
+        from .pipeline.loader import load_runner
 
         set_attention_backend(dit.get("attention_mode", "pallas"))
         dit_name = dit["model"]
@@ -263,16 +255,13 @@ class SeedVR2VideoUpscaler:
             runner.cfg = cfg
             return runner
 
-        dtype = jnp.bfloat16
-        t_dit = jax.eval_shape(lambda k: init_dit(cfg.dit, k, dtype), jax.random.PRNGKey(0))
-        t_vae = jax.eval_shape(lambda k: init_vae_params(cfg.vae, k, dtype), jax.random.PRNGKey(0))
-        dit_params = weights.load_dit_params(os.path.join(model_dir, dit_name), cfg.dit, t_dit)
-        dit_params = jax.tree.map(lambda x: jnp.asarray(x, dtype), dit_params)
-        vae_params = weights.load_vae_params(os.path.join(model_dir, vae["model"]), cfg.vae, t_vae)
-        vae_params = jax.tree.map(lambda x: jnp.asarray(x, dtype), vae_params)
-        emb_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        pos, neg = weights.load_text_embeddings(emb_dir)
-        runner = Runner(cfg, dit_params, vae_params, pos, neg, debug=debug)
+        runner = load_runner(
+            dit_model=dit_name,
+            vae_model=vae["model"],
+            model_dir=model_dir,
+            cfg=cfg,
+            debug=debug,
+        )
         if dit.get("cache_model") or vae.get("cache_model"):
             _RUNNER_CACHE[cache_key] = runner
         return runner
