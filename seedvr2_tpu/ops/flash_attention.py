@@ -43,6 +43,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float):
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
     denom = jnp.sum(e, axis=-1, keepdims=True)
+    denom = jnp.where(denom == 0.0, 1.0, denom)  # all-masked row safety
     p = (e / denom).astype(v.dtype)
     o = jax.lax.dot_general(
         p,
