@@ -97,6 +97,19 @@ def causal_conv3d(
         if cache > 0 and ctx.mode != "disabled":
             ctx.put("mem", x_ext[:, -cache:])
 
+    # Fast path: fused Pallas kernel for the dominant stride-1 3x3x3 convs
+    # (ops/conv3d_kernel.py). Falls back to XLA per shape on compile issues.
+    if spatial_pad == ((1, 1), (1, 1)):
+        from ...ops import conv3d_kernel as ck
+
+        if ck.enabled_for(tuple(w.shape), stride):
+            key = ("conv3d", tuple(x_ext.shape), tuple(w.shape))
+            if key not in _KERNEL_BLOCKLIST:
+                try:
+                    return ck.conv3d_3x3x3(x_ext, w.astype(x.dtype), p.get("b"))
+                except Exception:
+                    _KERNEL_BLOCKLIST.add(key)
+
     y = jax.lax.conv_general_dilated(
         x_ext,
         w.astype(x.dtype),
@@ -108,3 +121,6 @@ def causal_conv3d(
     if "b" in p:
         y = y + p["b"].astype(y.dtype)
     return y
+
+
+_KERNEL_BLOCKLIST = set()

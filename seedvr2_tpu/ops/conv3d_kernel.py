@@ -1,0 +1,157 @@
+"""Pallas 3x3x3 convolution kernel for the causal video VAE.
+
+XLA's TPU lowering of Conv3D reaches only ~17% MFU at the VAE's shapes
+(measured: 27.8 TFLOP/s on 512x512x128ch tiles vs 166 TFLOP/s on plain
+matmuls — docs/PERFORMANCE.md), and the VAE dominates pipeline wall time
+exactly as the reference observes of CUDA ("The VAE is slow",
+reference README.md:999). This kernel expresses the 3x3x3 conv as 27
+shifted [M,Cin]@[Cin,Cout] MXU matmuls accumulated in fp32:
+
+- overlapping (halo) input blocks are fetched with Element-indexed
+  BlockSpecs, so Pallas pipelines/double-buffers the slab DMA itself;
+- input is pre-padded spatially, temporally pre-extended upstream
+  (causal head extension in models/vae/causal_conv.py), so programs never
+  touch bounds;
+- grid: (frames, H tiles, W tiles, Cout tiles); the weight tile for the
+  current Cout slice lives in VMEM across the whole sweep.
+
+Only stride-1 3x3x3 convs with lane-aligned channels use this path
+(the bulk of VAE FLOPs); conv_in (3 input channels), 1x1x1 shortcuts and
+strided downsamplers stay on XLA.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from jax._src.pallas.core import Element
+
+_ENABLED = True
+
+
+def set_conv_backend(name: str) -> None:
+    global _ENABLED
+    _ENABLED = name == "pallas"
+
+
+def _kernel(x_ref, w_ref, b_ref, o_ref, acc_ref, *, th: int, tw: int, cin: int):
+    """x_ref: [3, th+2, tw+8, Cin] halo'd slab (Element-blocked);
+    w_ref: [3,3,3,Cin,co]; o_ref: [1, th, tw, co]."""
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    for kt in range(3):
+        for kh in range(3):
+            for kw in range(3):
+                xs = x_ref[kt, kh : kh + th, kw : kw + tw, :].reshape(th * tw, cin)
+                acc_ref[...] += jax.lax.dot_general(
+                    xs,
+                    w_ref[kt, kh, kw],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+    out = acc_ref[...] + b_ref[0].astype(jnp.float32)
+    o_ref[...] = out.reshape(1, th, tw, o_ref.shape[-1]).astype(o_ref.dtype)
+
+
+def _tile_for(cin: int) -> Tuple[int, int, int]:
+    """(th, tw, co_tile): keep slab ~<4MB and weights in VMEM."""
+    if cin <= 128:
+        return 16, 256, 128
+    if cin <= 256:
+        return 16, 128, 128
+    return 8, 128, 128
+
+
+def _round_up(x, m):
+    return ((x + m - 1) // m) * m
+
+
+def conv3d_3x3x3(
+    x_ext: jnp.ndarray,  # [B, T+2, H, W, C_in] (temporally pre-extended)
+    w: jnp.ndarray,  # [3, 3, 3, C_in, C_out]
+    b: Optional[jnp.ndarray],  # [C_out]
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Returns [B, T, H, W, C_out] (SAME spatial padding, valid temporal)."""
+    B, Text, H, W, Cin = x_ext.shape
+    T = Text - 2
+    Cout = w.shape[-1]
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    th, tw, co_tile = _tile_for(Cin)
+    th = min(th, _round_up(H, 8))
+    tw = min(tw, _round_up(W, 128))
+    Hp = _round_up(H, th)
+    Wp = _round_up(W, tw)
+    n_co = (Cout + co_tile - 1) // co_tile
+    Cop = n_co * co_tile
+
+    # halo: +1 low side; high side up to the last block's reach
+    # (h blocks read th+2 rows from hi*th; w blocks read tw+8 cols).
+    xp = jnp.pad(x_ext, ((0, 0), (0, 0), (1, Hp - H + 1), (1, Wp - W + 7), (0, 0)))
+    wp = jnp.pad(w, ((0, 0), (0, 0), (0, 0), (0, 0), (0, Cop - Cout)))
+    bp = jnp.pad(
+        (b if b is not None else jnp.zeros((Cout,), x_ext.dtype)), ((0, Cop - Cout),)
+    ).reshape(1, Cop)
+
+    kern = functools.partial(_kernel, th=th, tw=tw, cin=Cin)
+    grid = (T, Hp // th, Wp // tw, n_co)
+
+    x_spec = pl.BlockSpec(
+        (Element(3), Element(th + 2), Element(tw + 8), Element(Cin)),
+        lambda t, h, w_, c: (t, h * th, w_ * tw, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+    def run_one(xb):
+        return pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=[
+                x_spec,
+                pl.BlockSpec(
+                    (3, 3, 3, Cin, co_tile),
+                    lambda t, h, w_, c: (0, 0, 0, 0, c),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec((1, co_tile), lambda t, h, w_, c: (0, c), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, th, tw, co_tile), lambda t, h, w_, c: (t, h, w_, c), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((T, Hp, Wp, Cop), x_ext.dtype),
+            scratch_shapes=[pltpu.VMEM((th * tw, co_tile), jnp.float32)],
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * 27 * T * Hp * Wp * Cin * Cop,
+                bytes_accessed=2 * T * Hp * Wp * (Cin + Cop) * 3,
+                transcendentals=0,
+            ),
+        )(xb, wp, bp)
+
+    outs = [run_one(xp[i]) for i in range(B)]
+    out = jnp.stack(outs)[:, :, :H, :W, :Cout]
+    return out
+
+
+def enabled_for(w_shape: Tuple[int, ...], stride: Tuple[int, int, int]) -> bool:
+    """True when this kernel handles the conv (stride-1 3x3x3, lane-aligned
+    channels)."""
+    if not _ENABLED:
+        return False
+    kt, kh, kw, cin, cout = w_shape
+    return (
+        (kt, kh, kw) == (3, 3, 3)
+        and stride == (1, 1, 1)
+        and cin % 128 == 0
+        and cout % 128 == 0
+    )
