@@ -135,3 +135,34 @@ def download_model(
 
 def available_models(category: str) -> List[str]:
     return [k for k, v in MODEL_REGISTRY.items() if v.category == category]
+
+
+def find_model_path(model_name: str, search_dirs: List[str]) -> Optional[str]:
+    """Multi-directory, case-insensitive model discovery (reference:
+    src/utils/constants.py:58-131 searches ComfyUI extra_model_paths the
+    same way). Returns the first match or None."""
+    target = model_name.lower()
+    for d in search_dirs:
+        if not os.path.isdir(d):
+            continue
+        exact = os.path.join(d, model_name)
+        if os.path.exists(exact):
+            return exact
+        for f in os.listdir(d):
+            if f.lower() == target:
+                return os.path.join(d, f)
+    return None
+
+
+def discovered_models(search_dirs: List[str], category: str = "dit") -> List[str]:
+    """Registry models plus any checkpoint files found on disk (reference:
+    model_registry.py:63-85 get_available_dit_models)."""
+    names = list(available_models(category))
+    exts = (".safetensors", ".gguf", ".pth")
+    for d in search_dirs:
+        if not os.path.isdir(d):
+            continue
+        for f in sorted(os.listdir(d)):
+            if f.endswith(exts) and f not in names:
+                names.append(f)
+    return names

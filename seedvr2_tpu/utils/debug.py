@@ -110,6 +110,8 @@ class Debug:
         self.log(f"Profiler trace written to {logdir}", category="timing", force=True)
 
     def environment_report(self) -> None:
+        """Reference: debug.py:178-257 env report (OS/GPU/torch/attn libs) —
+        TPU analog: platform, jax, device inventory, attention backend."""
         if not self.enabled:
             return
         import platform
@@ -117,5 +119,17 @@ class Debug:
         import jax
 
         self.log(f"OS: {platform.platform()}", category="setup")
-        self.log(f"JAX: {jax.__version__}", category="setup")
-        self.log(f"Devices: {[str(d) for d in jax.devices()]}", category="setup")
+        self.log(f"Python: {platform.python_version()}  JAX: {jax.__version__}", category="setup")
+        self.log(f"Backend: {jax.default_backend()}  Devices: {[str(d) for d in jax.devices()]}", category="setup")
+        try:
+            from ..ops.attention import get_attention_backend
+
+            self.log(f"Attention backend: {get_attention_backend()}", category="setup")
+        except Exception:
+            pass
+        try:
+            from ..io.frameops import available as native_ok
+
+            self.log(f"Native frameops: {'available' if native_ok() else 'numpy fallback'}", category="setup")
+        except Exception:
+            pass
