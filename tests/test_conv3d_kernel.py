@@ -31,7 +31,12 @@ def test_matches_xla(shape):
 
 
 def test_enabled_for():
+    from seedvr2_tpu.ops.conv3d_kernel import set_conv_backend
+
+    set_conv_backend("pallas")
     assert enabled_for((3, 3, 3, 128, 128), (1, 1, 1))
     assert not enabled_for((1, 3, 3, 128, 128), (1, 1, 1))
     assert not enabled_for((3, 3, 3, 128, 128), (2, 2, 2))
     assert not enabled_for((3, 3, 3, 3, 128), (1, 1, 1))
+    set_conv_backend("xla")
+    assert not enabled_for((3, 3, 3, 128, 128), (1, 1, 1))
