@@ -289,10 +289,12 @@ def vae_decode(
     tiled: bool = False,
     tile_size: Tuple[int, int] = (512, 512),
     tile_overlap: Tuple[int, int] = (64, 64),
+    tile_batch: int = 1,
+    tile_sharding=None,
 ) -> jnp.ndarray:
     z = latent / cfg.scaling_factor + cfg.shifting_factor
     return (
-        tiled_decode(params, cfg, z, tile_size, tile_overlap)
+        tiled_decode(params, cfg, z, tile_size, tile_overlap, tile_batch, tile_sharding)
         if tiled
         else slicing_decode(params, cfg, z)
     )

@@ -76,7 +76,13 @@ class Runner:
         return self._with_oom_fallback(
             "decode",
             lambda tiled, ts, to: vae_tiling.vae_decode(
-                self.vae_params, c.vae, latent, tiled=tiled, tile_size=ts, tile_overlap=to
+                self.vae_params,
+                c.vae,
+                latent,
+                tiled=tiled,
+                tile_size=ts,
+                tile_overlap=to,
+                tile_batch=c.decode_tile_batch,
             ),
             c.decode_tiled,
             c.decode_tile_size,
