@@ -50,11 +50,29 @@ class Runner:
     # ------------------------------ condition ------------------------------ #
 
     @staticmethod
-    def get_condition(noise: jnp.ndarray, latent_blur: jnp.ndarray) -> jnp.ndarray:
-        """SR condition: [blurred LR latent | mask=1]
-        (reference: src/core/infer.py:54-78, task='sr')."""
-        mask = jnp.ones(noise.shape[:-1] + (1,), noise.dtype)
-        return jnp.concatenate([latent_blur, mask], axis=-1)
+    def get_condition(
+        noise: jnp.ndarray, latent_blur: jnp.ndarray, task: str = "sr"
+    ) -> jnp.ndarray:
+        """Conditioning channels [cond latent | mask]
+        (reference: src/core/infer.py:54-78). Tasks: 'sr' (all frames
+        conditioned on latent_blur), 'i2v' (first frame), 'v2v' (first two
+        frames), 't2v' (none). For i2v/v2v pass the *clean* latent as
+        `latent_blur` (the reference conditions those on latent[:n]). Only
+        'sr' is exercised by the upscaler pipeline, as in the reference."""
+        B, t = noise.shape[0], noise.shape[1]
+        zeros = jnp.zeros_like(noise)
+        mask0 = jnp.zeros(noise.shape[:-1] + (1,), noise.dtype)
+        if task == "sr":
+            return jnp.concatenate([latent_blur, mask0 + 1.0], axis=-1)
+        if task == "t2v":
+            return jnp.concatenate([zeros, mask0], axis=-1)
+        if task in ("i2v", "v2v"):
+            n = 1 if task == "i2v" else 2
+            frame_idx = jnp.arange(t).reshape(1, t, 1, 1, 1)
+            keep = (frame_idx < n).astype(noise.dtype)
+            cond = latent_blur * keep
+            return jnp.concatenate([cond, mask0 + keep], axis=-1)
+        raise NotImplementedError(task)
 
     # ------------------------------- VAE ----------------------------------- #
 
@@ -124,7 +142,13 @@ class Runner:
 
         cfg = self.cfg
         pt, ph, pw = cfg.dit.patch_size
-        plans = build_attn_plans(cfg.dit, (thw[0] // pt, thw[1] // ph, thw[2] // pw), txt_len)
+        patched = (thw[0] // pt, thw[1] // ph, thw[2] // pw)
+        plans = build_attn_plans(cfg.dit, patched, txt_len)
+        plans_neg = None
+        if cfg.diffusion.cfg_scale != 1.0:
+            if self.text_neg is None:
+                raise ValueError("cfg_scale != 1 requires negative text embeddings")
+            plans_neg = build_attn_plans(cfg.dit, patched, int(self.text_neg.shape[1]))
         T = cfg.diffusion.schedule_T
         timesteps = dm.uniform_trailing_timesteps(cfg.diffusion.sampling_steps, T)
         compute_dtype = jnp.dtype(cfg.compute_dtype)
@@ -150,8 +174,22 @@ class Runner:
 
             def f(x_t, t_arr, i):
                 vid = jnp.concatenate([x_t, cond], axis=-1)
-                return nadit_forward(
-                    dit_params, cfg.dit, vid, txt_pos.astype(compute_dtype), t_arr, plans
+
+                def pos():
+                    return nadit_forward(
+                        dit_params, cfg.dit, vid, txt_pos.astype(compute_dtype), t_arr, plans
+                    )
+
+                def neg():
+                    return nadit_forward(
+                        dit_params, cfg.dit, vid, self.text_neg.astype(compute_dtype), t_arr, plans_neg
+                    )
+
+                # CFG with lazy negative-branch skip at scale 1 (reference:
+                # diffusion/utils.py:66-84 — the deployed one-step model
+                # always runs scale 1, generation_phases.py:599).
+                return dm.cfg_dispatch(
+                    pos, neg, cfg.diffusion.cfg_scale, cfg.diffusion.cfg_rescale
                 )
 
             return dm.euler_sample(

@@ -76,3 +76,35 @@ def test_step_cache_reuse():
     assert len(r._dit_step_cache) == n
     r.upscale(jnp.zeros((1, 2, 8, 8, 4)), 42)  # new shape bucket
     assert len(r._dit_step_cache) == n + 1
+
+
+def test_condition_tasks():
+    noise = jnp.zeros((1, 3, 2, 2, 4))
+    lat = jnp.full((1, 3, 2, 2, 4), 0.5)
+    sr = Runner.get_condition(noise, lat, "sr")
+    np.testing.assert_allclose(sr[..., -1], 1.0)
+    i2v = Runner.get_condition(noise, lat, "i2v")
+    np.testing.assert_allclose(np.asarray(i2v[0, 0, ..., -1]), 1.0)
+    np.testing.assert_allclose(np.asarray(i2v[0, 1:, ..., -1]), 0.0)
+    np.testing.assert_allclose(np.asarray(i2v[0, 1:, ..., :4]), 0.0)
+    v2v = Runner.get_condition(noise, lat, "v2v")
+    np.testing.assert_allclose(np.asarray(v2v[0, :2, ..., -1]), 1.0)
+    np.testing.assert_allclose(np.asarray(v2v[0, 2:, ..., -1]), 0.0)
+    t2v = Runner.get_condition(noise, lat, "t2v")
+    np.testing.assert_allclose(np.asarray(t2v[..., -1]), 0.0)
+
+
+def test_cfg_scale_uses_negative_branch():
+    import dataclasses
+
+    r = _runner()
+    # rebuild with cfg_scale=3 and a neg embedding
+    cfg = dataclasses.replace(
+        r.cfg, diffusion=dataclasses.replace(r.cfg.diffusion, cfg_scale=3.0)
+    )
+    neg = np.random.RandomState(9).randn(3, r.cfg.dit.txt_in_dim).astype(np.float32) * 0.1
+    r2 = Runner(cfg, r.dit_params, r.vae_params, np.asarray(r.text_pos[0]), neg)
+    latent = jax.random.normal(jax.random.PRNGKey(5), (1, 2, 4, 4, 4))
+    base = np.asarray(r.upscale(latent, 42))
+    guided = np.asarray(r2.upscale(latent, 42))
+    assert np.abs(base - guided).max() > 1e-6
