@@ -330,8 +330,11 @@ def generate(
     progress_callback: Optional[Callable] = None,
 ) -> np.ndarray:
     """End-to-end: frames in [0,1] THWC -> upscaled frames in [0,1] THWC."""
+    import time
+
     cfg = cfg or runner.cfg
     ctx = make_context(cfg, debug)
+    t0 = time.perf_counter()
     encode_all_batches(runner, ctx, images, progress_callback)
     upscale_all_batches(runner, ctx, progress_callback)
     fast_path = (
@@ -344,6 +347,14 @@ def generate(
     else:
         decode_all_batches(runner, ctx, progress_callback)
         postprocess_all_batches(runner, ctx, progress_callback)
+    dt = time.perf_counter() - t0
+    n = len(ctx["final_video"])
+    # per-run fps summary, the reference's headline runtime metric
+    # (reference: inference_cli.py:1694-1697, video_upscaler.py:564-566)
+    ctx["debug"].log(
+        f"Generated {n} frames in {dt:.1f}s ({n / max(dt, 1e-9):.2f} fps)",
+        category="generation",
+    )
     return ctx["final_video"]
 
 
