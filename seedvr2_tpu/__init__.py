@@ -18,3 +18,17 @@ A ground-up rebuild of the capabilities of numz/ComfyUI-SeedVR2_VideoUpscaler
 """
 
 __version__ = "0.1.0"
+
+
+def load_runner(*args, **kwargs):
+    """Convenience re-export of seedvr2_tpu.pipeline.loader.load_runner."""
+    from .pipeline.loader import load_runner as _lr
+
+    return _lr(*args, **kwargs)
+
+
+def generate(*args, **kwargs):
+    """Convenience re-export of seedvr2_tpu.pipeline.phases.generate."""
+    from .pipeline.phases import generate as _g
+
+    return _g(*args, **kwargs)
