@@ -130,3 +130,35 @@ def test_prepend_frames():
     frames = _frames(t=5, seed=5)
     out = phases.generate(runner, frames)
     assert out.shape[0] == 5  # prepended frames removed
+
+
+def test_uniform_batch_size_path():
+    runner, cfg = _make_runner(uniform_batch_size=True, color_correction="none")
+    frames = _frames(t=7, seed=8)  # 5 + 2 -> last batch padded to 5
+    out = phases.generate(runner, frames)
+    assert out.shape[0] == 7
+    assert np.isfinite(out).all()
+
+
+def test_input_and_latent_noise_paths():
+    runner, cfg = _make_runner(
+        input_noise_scale=0.5, latent_noise_scale=0.3, color_correction="none"
+    )
+    frames = _frames(t=5, seed=9)
+    out = phases.generate(runner, frames)
+    assert out.shape[0] == 5
+    # noise paths change the result vs the clean runner
+    clean_runner, _ = _make_runner(color_correction="none")
+    base = phases.generate(clean_runner, frames)
+    assert np.abs(out - base).max() > 1e-4
+
+
+def test_all_color_methods_e2e():
+    frames = _frames(t=5, seed=10)
+    outs = {}
+    for method in ("lab", "hsv", "wavelet_adaptive", "adain"):
+        runner, cfg = _make_runner(color_correction=method)
+        outs[method] = phases.generate(runner, frames)
+        assert np.isfinite(outs[method]).all()
+    # methods actually differ
+    assert np.abs(outs["lab"] - outs["adain"]).max() > 1e-5
