@@ -42,7 +42,7 @@ def main():
     # 1080p 5-frame latent: (2, 136, 240, 16)
     latent = jax.random.normal(jax.random.PRNGKey(1), (1, 2, 136, 240, 16), dtype)
 
-    for backend in ("xla", "pallas"):
+    for backend in ("xla", "fused"):
         set_attention_backend(backend)
         runner._dit_step_cache.clear()
         t = time_step(runner, latent)

@@ -397,6 +397,93 @@ def _window_attention(
     return vid_out, txt_out
 
 
+def _window_attention_fused(
+    p_attn: Params,
+    cfg: DiTConfig,
+    vid: jnp.ndarray,  # [B, L, D]
+    txt: jnp.ndarray,  # [B, Lt, D]
+    lp: LayerPlan,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Head-major path feeding ops/fused_window_attention.py: every layout
+    change rides a GEMM (projection in/out), rope+mask+softmax live in the
+    kernel. Numerically equivalent to _window_attention (tests)."""
+    from ...ops.fused_window_attention import fused_window_attention
+
+    B, L, D = vid.shape
+    Lt = txt.shape[1]
+    H, hd = cfg.heads, cfg.head_dim
+    plan = lp.plan
+    nW, mL = plan.n_win, plan.max_len
+
+    def qkv_hm(pq, x):
+        w = pq["w_q"].astype(x.dtype) if "w_q" in pq else pq["w"].astype(x.dtype)
+        w = w.reshape(D if w.shape[0] == D else w.shape[0], 3, H, hd)
+        y = jnp.einsum("bld,dohx->bohlx", x, w)  # [B, 3, H, L, hd]
+        if "w_s" in pq:
+            y = y * pq["w_s"].astype(x.dtype).reshape(1, 3, H, 1, hd)
+        if "b" in pq:
+            y = y + pq["b"].astype(x.dtype).reshape(1, 3, H, 1, hd)
+        return y
+
+    vid_qkv = qkv_hm(_branch(p_attn["qkv"], "vid"), vid)
+    txt_qkv = qkv_hm(_branch(p_attn["qkv"], "txt"), txt)  # [B,3,H,Lt,hd]
+
+    if cfg.qk_norm:
+        nq_v = _branch(p_attn["norm_q"], "vid")["w"]
+        nk_v = _branch(p_attn["norm_k"], "vid")["w"]
+        nq_t = _branch(p_attn["norm_q"], "txt")["w"]
+        nk_t = _branch(p_attn["norm_k"], "txt")["w"]
+        vid_qkv = jnp.stack(
+            [
+                rms_norm(vid_qkv[:, 0], nq_v, cfg.norm_eps),
+                rms_norm(vid_qkv[:, 1], nk_v, cfg.norm_eps),
+                vid_qkv[:, 2],
+            ],
+            axis=1,
+        )
+        txt_qkv = jnp.stack(
+            [
+                rms_norm(txt_qkv[:, 0], nq_t, cfg.norm_eps),
+                rms_norm(txt_qkv[:, 1], nk_t, cfg.norm_eps),
+                txt_qkv[:, 2],
+            ],
+            axis=1,
+        )
+
+    idx = jnp.asarray(plan.index.reshape(-1))
+    vid_win = jnp.take(vid_qkv, idx, axis=3).reshape(B, 3, H, nW, mL, hd)
+
+    if lp.vid_angles is not None:
+        vang = jnp.asarray(lp.vid_angles)
+    else:
+        vang = jnp.zeros((nW, mL, hd), jnp.float32)
+    rope_txt = lp.txt_angles is not None and Lt > 0
+    tang = (
+        jnp.asarray(lp.txt_angles) if rope_txt else jnp.zeros((Lt, hd), jnp.float32)
+    )
+    valid = jnp.asarray(plan.valid)
+
+    ovid, otxt = fused_window_attention(vid_win, txt_qkv, vang, tang, valid, rope_txt)
+    # scatter windows back (token order) in head-major layout
+    inv = jnp.asarray(plan.inverse)
+    vid_tok = jnp.take(ovid.reshape(B, H, nW * mL, hd), inv, axis=2)  # [B,H,L,hd]
+    txt_tok = jnp.mean(otxt.astype(jnp.float32), axis=2).astype(otxt.dtype)  # [B,H,Lt,hd]
+
+    def out_proj(po, x_hm):
+        w = po["w_q"].astype(x_hm.dtype) if "w_q" in po else po["w"].astype(x_hm.dtype)
+        w = w.reshape(H, hd, -1)
+        y = jnp.einsum("bhld,hdD->blD", x_hm, w)
+        if "w_s" in po:
+            y = y * po["w_s"].astype(x_hm.dtype)
+        if "b" in po:
+            y = y + po["b"].astype(x_hm.dtype)
+        return y
+
+    vid_out = out_proj(_branch(p_attn["out"], "vid"), vid_tok)
+    txt_out = out_proj(_branch(p_attn["out"], "txt"), txt_tok)
+    return vid_out, txt_out
+
+
 def block_forward(
     p: Params,
     cfg: DiTConfig,
@@ -416,7 +503,12 @@ def block_forward(
         txt_a = _ada(p["ada"], "txt", txt_a, emb_slices, 0, "in")
     else:
         vid_a = _ada(p["ada"], "vid", vid_a, emb_slices, 0, "in")
-    vid_a, txt_a = _window_attention(p["attn"], cfg, vid_a, txt_a, lp, True)
+    from ...ops.attention import get_attention_backend
+
+    if get_attention_backend() == "fused":
+        vid_a, txt_a = _window_attention_fused(p["attn"], cfg, vid_a, txt_a, lp)
+    else:
+        vid_a, txt_a = _window_attention(p["attn"], cfg, vid_a, txt_a, lp, True)
     vid_a = _ada(p["ada"], "vid", vid_a, emb_slices, 0, "out")
     if not vid_only:
         txt_a = _ada(p["ada"], "txt", txt_a, emb_slices, 0, "out")

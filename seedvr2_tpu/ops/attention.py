@@ -31,6 +31,9 @@ def set_attention_backend(name: str) -> None:
         "sageattn_2": "pallas",
         "sageattn_3": "pallas",
         "pallas": "pallas",
+        # fully-fused rope+txt+softmax window kernel
+        # (ops/fused_window_attention.py, consumed directly by the DiT)
+        "fused": "fused",
     }
     if name not in alias:
         raise ValueError(f"Unknown attention backend: {name}")

@@ -1,0 +1,139 @@
+"""Fused window attention: RoPE + per-window text append + softmax in one
+Pallas kernel, head-major end to end.
+
+Motivation (profile in docs/PERFORMANCE.md): the XLA attention path spends
+~40% of the DiT step on layout copies, mask padding and rope slicing. This
+kernel takes q/k/v in the head-major layout the projections can emit for
+free ([B, H, nW, S, D] — layout changes ride the GEMM output layout), and
+performs in VMEM per (batch, head, window) program:
+
+    q/k <- rotate(q/k, cos, sin)        (fp32, zero-padded angles)
+    K   <- [k ; txt_k],  V <- [v ; txt_v]
+    out <- softmax(q K^T * scale + mask) V
+
+Text tokens attend inside every window exactly like the reference's
+repeat-concat (dit_3b/nablocks/attention/mmattn.py:190-257); their
+per-window outputs are returned separately for mean-coalescing outside.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _rotate(x, cos, sin):
+    xf = x.astype(jnp.float32)
+    S, D = xf.shape
+    x2 = xf.reshape(S, D // 2, 2)
+    rot = jnp.stack([-x2[..., 1], x2[..., 0]], axis=-1).reshape(S, D)
+    return xf * cos + rot * sin
+
+
+def _kernel(
+    vq_ref, vk_ref, vv_ref,  # [1, 1, 1, S, D]
+    tq_ref, tk_ref, tv_ref,  # [1, 1, Lt, D]
+    cos_ref, sin_ref,  # [1, S, D] fp32
+    tcos_ref, tsin_ref,  # [1, Lt, D] fp32 (zeros when txt rope disabled)
+    mask_ref,  # [1, 1, S] bool (vid slot validity)
+    ovid_ref,  # [1, 1, 1, S, D]
+    otxt_ref,  # [1, 1, 1, Lt, D]
+    *,
+    scale: float,
+    rope_txt: bool,
+):
+    S, D = vq_ref.shape[3], vq_ref.shape[4]
+    Lt = tq_ref.shape[2]
+    cos = cos_ref[0]
+    sin = sin_ref[0]
+    vq = _rotate(vq_ref[0, 0, 0], cos, sin)
+    vk = _rotate(vk_ref[0, 0, 0], cos, sin)
+    if rope_txt:
+        tq = _rotate(tq_ref[0, 0], tcos_ref[0], tsin_ref[0])
+        tk = _rotate(tk_ref[0, 0], tcos_ref[0], tsin_ref[0])
+    else:
+        tq = tq_ref[0, 0].astype(jnp.float32)
+        tk = tk_ref[0, 0].astype(jnp.float32)
+
+    q = jnp.concatenate([vq, tq], axis=0).astype(vq_ref.dtype)  # [S+Lt, D]
+    k = jnp.concatenate([vk, tk], axis=0).astype(vq_ref.dtype)
+    v = jnp.concatenate([vv_ref[0, 0, 0], tv_ref[0, 0]], axis=0)
+
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # [S+Lt, S+Lt]
+    valid = mask_ref[0, 0]  # [S] vid slots
+    kv_valid = jnp.concatenate([valid, jnp.ones((Lt,), bool)], axis=0)
+    s = jnp.where(kv_valid[None, :], s, -1e30)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    denom = jnp.sum(e, axis=-1, keepdims=True)
+    denom = jnp.where(denom == 0.0, 1.0, denom)
+    p = (e / denom).astype(v.dtype)
+    o = jax.lax.dot_general(
+        p, v, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(ovid_ref.dtype)
+    ovid_ref[0, 0, 0] = o[:S]
+    otxt_ref[0, 0, 0] = o[S:]
+
+
+@functools.partial(jax.jit, static_argnames=("rope_txt", "interpret"))
+def fused_window_attention(
+    vid_qkv: jnp.ndarray,  # [B, 3, H, nW, S, D] (windowed, head-major)
+    txt_qkv: jnp.ndarray,  # [B, 3, H, Lt, D]
+    vid_angles: jnp.ndarray,  # [nW, S, D] fp32 (zero-padded to D)
+    txt_angles: jnp.ndarray,  # [Lt, D] fp32 (zeros if not rope_txt)
+    valid: jnp.ndarray,  # [nW, S] bool
+    rope_txt: bool,
+    interpret: Optional[bool] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (vid_out [B, H, nW, S, D], txt_out [B, H, nW, Lt, D])."""
+    B, _, H, nW, S, D = vid_qkv.shape
+    Lt = txt_qkv.shape[3]
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    scale = 1.0 / float(np.sqrt(D))
+
+    cos = jnp.cos(vid_angles)
+    sin = jnp.sin(vid_angles)
+    tcos = jnp.cos(txt_angles)[None]
+    tsin = jnp.sin(txt_angles)[None]
+    mask = valid[:, None, :]  # [nW, 1, S]
+
+    vq, vk, vv = vid_qkv[:, 0], vid_qkv[:, 1], vid_qkv[:, 2]  # [B,H,nW,S,D]
+    tq, tk, tv = txt_qkv[:, 0], txt_qkv[:, 1], txt_qkv[:, 2]  # [B,H,Lt,D]
+
+    vspec = pl.BlockSpec((1, 1, 1, S, D), lambda b, h, w: (b, h, w, 0, 0), memory_space=pltpu.VMEM)
+    tspec = pl.BlockSpec((1, 1, Lt, D), lambda b, h, w: (b, h, 0, 0), memory_space=pltpu.VMEM)
+    aspec = pl.BlockSpec((1, S, D), lambda b, h, w: (w, 0, 0), memory_space=pltpu.VMEM)
+    taspec = pl.BlockSpec((1, Lt, D), lambda b, h, w: (0, 0, 0), memory_space=pltpu.VMEM)
+    mspec = pl.BlockSpec((1, 1, S), lambda b, h, w: (w, 0, 0), memory_space=pltpu.VMEM)
+
+    ovid, otxt = pl.pallas_call(
+        functools.partial(_kernel, scale=scale, rope_txt=rope_txt),
+        grid=(B, H, nW),
+        in_specs=[vspec, vspec, vspec, tspec, tspec, tspec, aspec, aspec, taspec, taspec, mspec],
+        out_specs=(
+            pl.BlockSpec((1, 1, 1, S, D), lambda b, h, w: (b, h, w, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, Lt, D), lambda b, h, w: (b, h, w, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, H, nW, S, D), vid_qkv.dtype),
+            jax.ShapeDtypeStruct((B, H, nW, Lt, D), vid_qkv.dtype),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * nW * (S + Lt) * (S + Lt) * D,
+            bytes_accessed=2 * B * H * nW * (S + Lt) * D * 4,
+            transcendentals=B * H * nW * (S + Lt) * (S + Lt),
+        ),
+    )(vq, vk, vv, tq, tk, tv, cos, sin, tcos, tsin, mask)
+    return ovid, otxt
