@@ -29,10 +29,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _rotate(x, cos, sin):
+    """GPT-J pairwise rotation without (S, D/2, 2) reshapes (Mosaic cannot
+    lower that layout cast): rotate_half via lane rolls —
+    rot[2i] = -x[2i+1], rot[2i+1] = x[2i]."""
     xf = x.astype(jnp.float32)
-    S, D = xf.shape
-    x2 = xf.reshape(S, D // 2, 2)
-    rot = jnp.stack([-x2[..., 1], x2[..., 0]], axis=-1).reshape(S, D)
+    D = xf.shape[-1]
+    left = pltpu.roll(xf, D - 1, axis=1)  # x[d+1] (circular)
+    right = pltpu.roll(xf, 1, axis=1)  # x[d-1]
+    even = (jax.lax.broadcasted_iota(jnp.int32, xf.shape, 1) % 2) == 0
+    rot = jnp.where(even, -left, right)
     return xf * cos + rot * sin
 
 
