@@ -55,39 +55,48 @@ def _kernel(
 ):
     S, D = vq_ref.shape[3], vq_ref.shape[4]
     Lt = tq_ref.shape[2]
+    dt = vq_ref.dtype
     cos = cos_ref[0]
     sin = sin_ref[0]
-    vq = _rotate(vq_ref[0, 0, 0], cos, sin)
-    vk = _rotate(vk_ref[0, 0, 0], cos, sin)
+    vq = _rotate(vq_ref[0, 0, 0], cos, sin).astype(dt)
+    vk = _rotate(vk_ref[0, 0, 0], cos, sin).astype(dt)
     if rope_txt:
-        tq = _rotate(tq_ref[0, 0], tcos_ref[0], tsin_ref[0])
-        tk = _rotate(tk_ref[0, 0], tcos_ref[0], tsin_ref[0])
+        tq = _rotate(tq_ref[0, 0], tcos_ref[0], tsin_ref[0]).astype(dt)
+        tk = _rotate(tk_ref[0, 0], tcos_ref[0], tsin_ref[0]).astype(dt)
     else:
-        tq = tq_ref[0, 0].astype(jnp.float32)
-        tk = tk_ref[0, 0].astype(jnp.float32)
+        tq = tq_ref[0, 0]
+        tk = tk_ref[0, 0]
+    vv = vv_ref[0, 0, 0]
+    tv = tv_ref[0, 0]
+    valid = mask_ref[0, 0][None, :]  # [1, S] vid-slot validity
 
-    q = jnp.concatenate([vq, tq], axis=0).astype(vq_ref.dtype)  # [S+Lt, D]
-    k = jnp.concatenate([vk, tk], axis=0).astype(vq_ref.dtype)
-    v = jnp.concatenate([vv_ref[0, 0, 0], tv_ref[0, 0]], axis=0)
+    def qk(a, b):  # [Ma, D] x [Mb, D] -> [Ma, Mb] fp32
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
 
-    s = jax.lax.dot_general(
-        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale  # [S+Lt, S+Lt]
-    valid = mask_ref[0, 0]  # [S] vid slots
-    kv_valid = jnp.concatenate([valid, jnp.ones((Lt,), bool)], axis=0)
-    s = jnp.where(kv_valid[None, :], s, -1e30)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)
-    denom = jnp.sum(e, axis=-1, keepdims=True)
-    denom = jnp.where(denom == 0.0, 1.0, denom)
-    p = (e / denom).astype(v.dtype)
-    o = jax.lax.dot_general(
-        p, v, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(ovid_ref.dtype)
-    ovid_ref[0, 0, 0] = o[:S]
-    otxt_ref[0, 0, 0] = o[S:]
+    def pv(p, val):  # [M, K] fp32 x [K, D] -> [M, D] fp32
+        return jax.lax.dot_general(
+            p.astype(dt), val, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def attend(q):  # blockwise softmax over [vid keys | txt keys]
+        s_v = jnp.where(valid, qk(q, vk), -1e30)
+        s_t = qk(q, tk)
+        m = jnp.maximum(
+            jnp.max(s_v, axis=-1, keepdims=True), jnp.max(s_t, axis=-1, keepdims=True)
+        )
+        e_v = jnp.exp(s_v - m)
+        e_t = jnp.exp(s_t - m)
+        den = jnp.sum(e_v, axis=-1, keepdims=True) + jnp.sum(e_t, axis=-1, keepdims=True)
+        den = jnp.where(den == 0.0, 1.0, den)
+        inv = 1.0 / den
+        return (pv(e_v * inv, vv) + pv(e_t * inv, tv)).astype(dt)
+
+    ovid_ref[0, 0, 0] = attend(vq)
+    otxt_ref[0, 0, 0] = attend(tq)
 
 
 @functools.partial(jax.jit, static_argnames=("rope_txt", "interpret"))
