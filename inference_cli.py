@@ -58,8 +58,8 @@ def parse_arguments(argv: Optional[List[str]] = None) -> argparse.Namespace:
     p.add_argument("--vae_decode_tile_overlap", type=int, nargs=2, default=[64, 64])
     p.add_argument("--vae_conv_backend", type=str, default="xla", choices=["xla", "pallas"],
                    help="Pallas 3x3x3 conv kernel for VAE convs (+13%% over XLA)")
-    p.add_argument("--attention_mode", type=str, default="pallas",
-                   choices=["pallas", "xla", "sdpa", "flash_attn_2", "flash_attn_3", "sageattn_2", "sageattn_3"])
+    p.add_argument("--attention_mode", type=str, default="fused",
+                   choices=["fused", "pallas", "xla", "sdpa", "flash_attn_2", "flash_attn_3", "sageattn_2", "sageattn_3"])
     p.add_argument("--debug", action="store_true")
     p.add_argument("--resume", action="store_true", help="resume an interrupted chunked run")
     p.add_argument(

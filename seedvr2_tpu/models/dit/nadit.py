@@ -504,8 +504,11 @@ def block_forward(
     else:
         vid_a = _ada(p["ada"], "vid", vid_a, emb_slices, 0, "in")
     from ...ops.attention import get_attention_backend
+    from ...parallel.sp import current_hints
 
-    if get_attention_backend() == "fused":
+    # The fused kernel is single-device-oriented; under explicit seq/tensor
+    # sharding hints the GSPMD-annotated reference path is used instead.
+    if get_attention_backend() == "fused" and current_hints() is None:
         vid_a, txt_a = _window_attention_fused(p["attn"], cfg, vid_a, txt_a, lp)
     else:
         vid_a, txt_a = _window_attention(p["attn"], cfg, vid_a, txt_a, lp, True)
