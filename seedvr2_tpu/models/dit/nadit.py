@@ -415,38 +415,29 @@ def _window_attention_fused(
     plan = lp.plan
     nW, mL = plan.n_win, plan.max_len
 
-    # Projection as a plain token-major matmul (the head-major einsum form
-    # lowers to a slow convolution on TPU), then one explicit transpose to
-    # the kernel's head-major layout.
-    def qkv_tm(pq, x):
-        if "w_q" in pq:
-            y = jnp.einsum("bld,dox->blox", x, pq["w_q"].astype(x.dtype))
-            y = y * pq["w_s"].astype(x.dtype)
-        else:
-            y = jnp.einsum("bld,dox->blox", x, pq["w"].astype(x.dtype))
+    def qkv_hm(pq, x):
+        w = pq["w_q"].astype(x.dtype) if "w_q" in pq else pq["w"].astype(x.dtype)
+        w = w.reshape(D if w.shape[0] == D else w.shape[0], 3, H, hd)
+        y = jnp.einsum("bld,dohx->bohlx", x, w)  # [B, 3, H, L, hd]
+        if "w_s" in pq:
+            y = y * pq["w_s"].astype(x.dtype).reshape(1, 3, H, 1, hd)
         if "b" in pq:
-            y = y + pq["b"].astype(x.dtype)
-        return y  # [B, L, 3, inner]
+            y = y + pq["b"].astype(x.dtype).reshape(1, 3, H, 1, hd)
+        return y
 
-    vid_qkv = qkv_tm(_branch(p_attn["qkv"], "vid"), vid)
-    txt_qkv = qkv_tm(_branch(p_attn["qkv"], "txt"), txt)
-
-    # window gather in token-major (contiguous rows), then head-major
-    idx = jnp.asarray(plan.index.reshape(-1))
-    vid_win = jnp.take(vid_qkv, idx, axis=1)  # [B, nW*mL, 3, inner]
-    vid_win = vid_win.reshape(B, nW, mL, 3, H, hd).transpose(0, 3, 4, 1, 2, 5)
-    txt_qkv = txt_qkv.reshape(B, Lt, 3, H, hd).transpose(0, 2, 3, 1, 4)  # [B,3,H,Lt,hd]
+    vid_qkv = qkv_hm(_branch(p_attn["qkv"], "vid"), vid)
+    txt_qkv = qkv_hm(_branch(p_attn["qkv"], "txt"), txt)  # [B,3,H,Lt,hd]
 
     if cfg.qk_norm:
         nq_v = _branch(p_attn["norm_q"], "vid")["w"]
         nk_v = _branch(p_attn["norm_k"], "vid")["w"]
         nq_t = _branch(p_attn["norm_q"], "txt")["w"]
         nk_t = _branch(p_attn["norm_k"], "txt")["w"]
-        vid_win = jnp.stack(
+        vid_qkv = jnp.stack(
             [
-                rms_norm(vid_win[:, 0], nq_v, cfg.norm_eps),
-                rms_norm(vid_win[:, 1], nk_v, cfg.norm_eps),
-                vid_win[:, 2],
+                rms_norm(vid_qkv[:, 0], nq_v, cfg.norm_eps),
+                rms_norm(vid_qkv[:, 1], nk_v, cfg.norm_eps),
+                vid_qkv[:, 2],
             ],
             axis=1,
         )
@@ -459,6 +450,9 @@ def _window_attention_fused(
             axis=1,
         )
 
+    idx = jnp.asarray(plan.index.reshape(-1))
+    vid_win = jnp.take(vid_qkv, idx, axis=3).reshape(B, 3, H, nW, mL, hd)
+
     if lp.vid_angles is not None:
         vang = jnp.asarray(lp.vid_angles)
     else:
@@ -470,15 +464,23 @@ def _window_attention_fused(
     valid = jnp.asarray(plan.valid)
 
     ovid, otxt = fused_window_attention(vid_win, txt_qkv, vang, tang, valid, rope_txt)
-    # back to token-major: one transpose, then contiguous scatter
+    # scatter windows back (token order) in head-major layout
     inv = jnp.asarray(plan.inverse)
-    vid_tok = ovid.transpose(0, 2, 3, 1, 4).reshape(B, nW * mL, H * hd)
-    vid_tok = jnp.take(vid_tok, inv, axis=1)  # [B, L, inner]
+    vid_tok = jnp.take(ovid.reshape(B, H, nW * mL, hd), inv, axis=2)  # [B,H,L,hd]
     txt_tok = jnp.mean(otxt.astype(jnp.float32), axis=2).astype(otxt.dtype)  # [B,H,Lt,hd]
-    txt_tok = txt_tok.transpose(0, 2, 1, 3).reshape(B, Lt, H * hd)
 
-    vid_out = _apply_linear(_branch(p_attn["out"], "vid"), vid_tok)
-    txt_out = _apply_linear(_branch(p_attn["out"], "txt"), txt_tok)
+    def out_proj(po, x_hm):
+        w = po["w_q"].astype(x_hm.dtype) if "w_q" in po else po["w"].astype(x_hm.dtype)
+        w = w.reshape(H, hd, -1)
+        y = jnp.einsum("bhld,hdD->blD", x_hm, w)
+        if "w_s" in po:
+            y = y * po["w_s"].astype(x_hm.dtype)
+        if "b" in po:
+            y = y + po["b"].astype(x_hm.dtype)
+        return y
+
+    vid_out = out_proj(_branch(p_attn["out"], "vid"), vid_tok)
+    txt_out = out_proj(_branch(p_attn["out"], "txt"), txt_tok)
     return vid_out, txt_out
 
 
