@@ -299,11 +299,27 @@ def load_vae_params(path: str, cfg: VAEConfig, template, dtype=np.float32):
     return unflatten_into(template, flat)
 
 
-def load_text_embeddings(directory: str) -> Tuple[np.ndarray, np.ndarray]:
-    """Load the bundled pos/neg prompt embeddings (reference ships
-    pos_emb.pt / neg_emb.pt; loaded at generation_utils.py:517-557)."""
-    import torch
+def load_text_embeddings(directory: Optional[str] = None) -> Tuple[np.ndarray, np.ndarray]:
+    """Load the fixed prompt embeddings. The model has no text encoder at
+    inference — the reference ships pos_emb.pt / neg_emb.pt in-repo
+    (loaded at generation_utils.py:517-557); we bundle the same tensors as
+    an npz asset and also accept a directory containing the original .pt
+    files."""
+    if directory:
+        pos_pt = os.path.join(directory, "pos_emb.pt")
+        npz = os.path.join(directory, "text_embeddings.npz")
+        if os.path.exists(pos_pt):
+            import torch
 
-    pos = torch.load(os.path.join(directory, "pos_emb.pt"), weights_only=True, map_location="cpu")
-    neg = torch.load(os.path.join(directory, "neg_emb.pt"), weights_only=True, map_location="cpu")
-    return pos.to(torch.float32).numpy(), neg.to(torch.float32).numpy()
+            pos = torch.load(pos_pt, weights_only=True, map_location="cpu")
+            neg = torch.load(
+                os.path.join(directory, "neg_emb.pt"), weights_only=True, map_location="cpu"
+            )
+            return pos.to(torch.float32).numpy(), neg.to(torch.float32).numpy()
+        if os.path.exists(npz):
+            data = np.load(npz)
+            return data["pos"], data["neg"]
+    bundled = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                           "assets", "text_embeddings.npz")
+    data = np.load(bundled)
+    return data["pos"], data["neg"]

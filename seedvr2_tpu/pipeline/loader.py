@@ -96,7 +96,9 @@ def load_runner(
 
         dit_params = shard_params(dit_params, dit_param_shardings(dit_params, mesh))
 
-    if emb_dir is None:
-        emb_dir = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     pos, neg = weights.load_text_embeddings(emb_dir)
+    # smoke-test configs use small txt dims; real models match exactly
+    if pos.shape[-1] > cfg.dit.txt_in_dim:
+        pos = pos[:, : cfg.dit.txt_in_dim]
+        neg = neg[:, : cfg.dit.txt_in_dim]
     return Runner(cfg, dit_params, vae_params, pos, neg, debug=debug, mesh=mesh)
