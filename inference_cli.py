@@ -103,9 +103,27 @@ def build_runner(args):
 
     set_conv_backend(args.vae_conv_backend)
 
+    dit_name = args.dit_model or DEFAULT_DIT
+    from seedvr2_tpu.io.registry import model_variant
+
+    if model_variant(dit_name) == "tiny":
+        # smoke-test configuration (CI-sized models)
+        import dataclasses
+
+        from seedvr2_tpu.config import dit_tiny, vae_tiny
+
+        vae_cfg = vae_tiny()
+        dit_cfg = dataclasses.replace(
+            dit_tiny(),
+            vid_in_channels=2 * vae_cfg.latent_channels + 1,
+            vid_out_channels=vae_cfg.latent_channels,
+        )
+    else:
+        dit_cfg, vae_cfg = dit_3b(), vae_config()  # variant fixed by load_runner
+
     cfg = PipelineConfig(
-        dit=dit_3b(),  # variant fixed up by load_runner from the model name
-        vae=vae_config(),
+        dit=dit_cfg,
+        vae=vae_cfg,
         resolution=args.resolution,
         max_resolution=args.max_resolution,
         batch_size=args.batch_size,
@@ -124,7 +142,7 @@ def build_runner(args):
         decode_tile_overlap=tuple(args.vae_decode_tile_overlap),
     )
     runner = load_runner(
-        dit_model=args.dit_model or DEFAULT_DIT,
+        dit_model=dit_name,
         vae_model=args.vae_model,
         model_dir=args.model_dir,
         cfg=cfg,

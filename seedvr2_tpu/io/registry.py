@@ -50,8 +50,12 @@ DEFAULT_VAE = "ema_vae_fp16.safetensors"
 
 def model_variant(model_name: str) -> str:
     """'7b' iff '7b' appears in the name (reference:
-    model_configuration.py:718-720), else '3b'."""
-    return "7b" if "7b" in model_name.lower() else "3b"
+    model_configuration.py:718-720), else '3b'. 'tiny' selects the
+    smoke-test configuration (CI-sized models, not a reference variant)."""
+    low = model_name.lower()
+    if "tiny" in low:
+        return "tiny"
+    return "7b" if "7b" in low else "3b"
 
 
 def sha256_file(path: str, chunk: int = 1 << 20) -> str:

@@ -1,0 +1,90 @@
+"""CLI end-to-end smoke test: synthetic tiny checkpoints -> main() -> output
+image. Exercises argv parsing, the loader path (incl. orbax cache), the full
+4-phase pipeline and image IO exactly as a user invocation would."""
+
+import dataclasses
+import os
+
+import jax
+import numpy as np
+import pytest
+
+import inference_cli
+from seedvr2_tpu.config import dit_tiny, vae_tiny
+from seedvr2_tpu.io import video as vio
+from seedvr2_tpu.io import weights as W
+from seedvr2_tpu.models.dit.nadit import init_params as init_dit
+from seedvr2_tpu.models.vae.model import init_vae_params
+
+
+@pytest.fixture(scope="module")
+def tiny_model_dir(tmp_path_factory):
+    from safetensors.numpy import save_file
+
+    d = tmp_path_factory.mktemp("cli_models")
+    vae_cfg = vae_tiny()
+    dit_cfg = dataclasses.replace(
+        dit_tiny(),
+        vid_in_channels=2 * vae_cfg.latent_channels + 1,
+        vid_out_channels=vae_cfg.latent_channels,
+    )
+    dit_params = init_dit(dit_cfg, jax.random.PRNGKey(0))
+    vae_params = init_vae_params(vae_cfg, jax.random.PRNGKey(1))
+    save_file(
+        {k: np.ascontiguousarray(v) for k, v in W.export_state_dict(dit_params, W.dit_key_map(dit_cfg)).items()},
+        str(d / "tiny_dit.safetensors"),
+    )
+    save_file(
+        {k: np.ascontiguousarray(v) for k, v in W.export_state_dict(vae_params, W.vae_key_map(vae_cfg)).items()},
+        str(d / "tiny_vae.safetensors"),
+    )
+    return d
+
+
+def test_cli_image_end_to_end(tiny_model_dir, tmp_path):
+    img = np.random.RandomState(0).rand(20, 24, 3).astype(np.float32)
+    inp = str(tmp_path / "in.png")
+    out = str(tmp_path / "out.png")
+    vio.write_image(inp, img)
+
+    rc = inference_cli.main(
+        [
+            inp,
+            "--output", out,
+            "--dit_model", "tiny_dit.safetensors",
+            "--vae_model", "tiny_vae.safetensors",
+            "--model_dir", str(tiny_model_dir),
+            "--resolution", "32",
+            "--color_correction", "wavelet",
+        ]
+    )
+    assert rc == 0
+    assert os.path.exists(out)
+    result = vio.read_image(out)
+    assert result.shape[0] >= 26 and result.shape[2] == 3
+
+
+def test_cli_video_end_to_end(tiny_model_dir, tmp_path):
+    frames = (np.random.RandomState(1).rand(6, 20, 24, 3) > 0.5).astype(np.float32)
+    inp = str(tmp_path / "in.mp4")
+    out = str(tmp_path / "out.mp4")
+    w = vio.make_video_writer(inp, 24, 20, 10.0)
+    w.write(frames)
+    w.close()
+
+    rc = inference_cli.main(
+        [
+            inp,
+            "--output", out,
+            "--dit_model", "tiny_dit.safetensors",
+            "--vae_model", "tiny_vae.safetensors",
+            "--model_dir", str(tiny_model_dir),
+            "--resolution", "32",
+            "--color_correction", "none",
+            "--batch_size", "5",
+        ]
+    )
+    assert rc == 0
+    r = vio.VideoReader(out)
+    assert r.total_frames == 6
+    r.close()
