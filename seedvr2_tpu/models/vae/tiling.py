@@ -96,17 +96,20 @@ def _cosine_ramp(n: int) -> np.ndarray:
     return 0.5 - 0.5 * np.cos(t * np.pi)
 
 
-def _tile_grid(total: int, tile: int, overlap: int):
-    """Tile start/end positions with skip rule for degenerate tiles
-    (reference: attn_video_vae.py:1363-1371)."""
-    stride = max(1, tile - overlap)
-    out = []
-    for s in range(0, total, stride):
-        e = min(s + tile, total)
-        if s > 0 and (e - s) <= overlap:
-            continue
-        out.append((s, e))
-    return out
+def _tile_starts(total: int, tile: int, stride: int) -> list:
+    """Uniform full-size tile starts covering [0, total): stride steps with the
+    last start clamped to ``total - tile`` so every tile holds real content.
+
+    The reference instead clips edge tiles to the image bound
+    (attn_video_vae.py:1526-1535) which yields ragged shapes; shifting the
+    last start keeps ONE compiled decoder shape (TPU static-shape requirement)
+    while still decoding only real pixels. When (total - tile) % stride == 0
+    the two grids coincide exactly."""
+    if total <= tile:
+        return [0]
+    starts = list(range(0, total - tile, stride))
+    starts.append(total - tile)
+    return starts
 
 
 def _edge_weights(n: int, ov: int, at_start_edge: bool, at_end_edge: bool) -> np.ndarray:
@@ -127,9 +130,14 @@ def tiled_encode(
     x: jnp.ndarray,
     tile_size: Tuple[int, int] = (512, 512),
     tile_overlap: Tuple[int, int] = (64, 64),
+    tile_batch: int = 1,
+    tile_sharding=None,  # NamedSharding over the tile-batch dim (multi-chip)
 ) -> jnp.ndarray:
     """Spatial tiling in latent-space coordinates (reference:
-    attn_video_vae.py:1302-1468). Tile/overlap are pixel-space values."""
+    attn_video_vae.py:1302-1468). Tile/overlap are pixel-space values.
+    Tiles are encoded ``tile_batch`` at a time through one compiled encoder
+    executable; remainder groups are padded to that batch so there is exactly
+    one compiled shape and sharding applies to every group."""
     B, T, H, W, _ = x.shape
     sf = cfg.spatial_downsample_factor
     lt_h, lt_w = max(1, tile_size[0] // sf), max(1, tile_size[1] // sf)
@@ -141,20 +149,18 @@ def tiled_encode(
 
     if B != 1:
         outs = [
-            tiled_encode(params, cfg, x[i : i + 1], tile_size, tile_overlap)
+            tiled_encode(params, cfg, x[i : i + 1], tile_size, tile_overlap,
+                         tile_batch, tile_sharding)
             for i in range(B)
         ]
         return jnp.concatenate(outs, axis=0)
 
-    # Uniform grid over an edge-padded extent; tiles encoded in batches
-    # through one compiled encoder executable (see tiled_decode).
+    # Uniform full-size tile grid (shift-last-start; see _tile_starts).
+    # H/W are /16-padded upstream (DivisiblePad) so pixel-space starts are
+    # latent-aligned after clamping to multiples of sf.
     sh, sw = max(1, lt_h - lo_h), max(1, lt_w - lo_w)
-    rows = [r * sh for r in range(max(1, math.ceil((H_lat - lo_h) / sh)))]
-    cols = [c * sw for c in range(max(1, math.ceil((W_lat - lo_w) / sw)))]
-    Hp_lat, Wp_lat = rows[-1] + lt_h, cols[-1] + lt_w
-    xp = jnp.pad(
-        x, ((0, 0), (0, 0), (0, Hp_lat * sf - H), (0, Wp_lat * sf - W), (0, 0)), mode="edge"
-    )
+    rows = _tile_starts(H_lat, lt_h, sh)
+    cols = _tile_starts(W_lat, lt_w, sw)
     tiles = [(y, x0) for y in rows for x0 in cols]
     weights = []
     for (y, x0) in tiles:
@@ -163,25 +169,29 @@ def tiled_encode(
         weights.append(np.outer(wh, ww))
     weights = jnp.asarray(np.stack(weights))
 
-    tile_batch = 1
     result = None
-    count = jnp.zeros((1, 1, Hp_lat, Wp_lat, 1), jnp.float32)
+    count = jnp.zeros((1, 1, H_lat, W_lat, 1), jnp.float32)
     for g0 in range(0, len(tiles), tile_batch):
         group = tiles[g0 : g0 + tile_batch]
+        n_real = len(group)
+        if n_real < tile_batch:
+            group = group + [group[-1]] * (tile_batch - n_real)  # pad: one shape
         batch = jnp.stack(
-            [xp[0, :, y * sf : (y + lt_h) * sf, x0 * sf : (x0 + lt_w) * sf] for (y, x0) in group]
+            [x[0, :, y * sf : (y + lt_h) * sf, x0 * sf : (x0 + lt_w) * sf] for (y, x0) in group]
         )
+        if tile_sharding is not None:
+            batch = jax.device_put(batch, tile_sharding)
         enc = slicing_encode(params, cfg, batch)  # [g, T', lt_h, lt_w, 2C]
         if result is None:
-            result = jnp.zeros((1, enc.shape[1], Hp_lat, Wp_lat, enc.shape[-1]), jnp.float32)
-        for gi, (y, x0) in enumerate(group):
+            result = jnp.zeros((1, enc.shape[1], H_lat, W_lat, enc.shape[-1]), jnp.float32)
+        for gi in range(n_real):
+            y, x0 = group[gi]
             w2 = weights[g0 + gi][None, :, :, None]
             result = result.at[0, :, y : y + lt_h, x0 : x0 + lt_w].add(
                 enc[gi].astype(jnp.float32) * w2
             )
             count = count.at[:, :, y : y + lt_h, x0 : x0 + lt_w].add(w2[None])
-    out = (result / jnp.clip(count, 1e-6)).astype(x.dtype)
-    return out[:, :, :H_lat, :W_lat]
+    return (result / jnp.clip(count, 1e-6)).astype(x.dtype)
 
 
 def tiled_decode(
@@ -193,11 +203,13 @@ def tiled_decode(
     tile_batch: int = 1,
     tile_sharding=None,  # NamedSharding over the tile-batch dim (multi-chip)
 ) -> jnp.ndarray:
-    """Reference: attn_video_vae.py:1470-1630, redesigned for the MXU: the
-    latent is edge-padded to a *uniform* tile grid so all tiles share one
-    shape, then tiles are decoded in batches of ``tile_batch`` through a
-    single compiled decoder executable (the reference loops tile-by-tile).
-    Cosine-ramp blending in pixel space is unchanged."""
+    """Reference: attn_video_vae.py:1470-1630, redesigned for the MXU: a
+    *uniform full-size* tile grid (shift-last-start, _tile_starts) so all
+    tiles share one compiled shape and contain only real content, decoded in
+    batches of ``tile_batch`` through a single compiled decoder executable
+    (the reference loops tile-by-tile with ragged edge tiles). Cosine-ramp
+    blending in pixel space is unchanged; remainder groups are padded to
+    ``tile_batch`` so sharding applies to every group."""
     B, T, H, W, _ = z.shape
     sf = cfg.spatial_downsample_factor
     lt_h, lt_w = max(1, tile_size[0] // sf), max(1, tile_size[1] // sf)
@@ -211,16 +223,15 @@ def tiled_decode(
     if B != 1:
         # rare path: fall back to per-tile loop semantics via vmap-free calls
         outs = [
-            tiled_decode(params, cfg, z[i : i + 1], tile_size, tile_overlap, tile_batch)
+            tiled_decode(params, cfg, z[i : i + 1], tile_size, tile_overlap,
+                         tile_batch, tile_sharding)
             for i in range(B)
         ]
         return jnp.concatenate(outs, axis=0)
 
-    # Uniform grid over an edge-padded extent.
-    rows = [r * sh for r in range(max(1, math.ceil((H - lo_h) / sh)))]
-    cols = [c * sw for c in range(max(1, math.ceil((W - lo_w) / sw)))]
-    Hp, Wp = rows[-1] + lt_h, cols[-1] + lt_w
-    zp = jnp.pad(z, ((0, 0), (0, 0), (0, Hp - H), (0, Wp - W), (0, 0)), mode="edge")
+    # Uniform full-size tile grid (shift-last-start; see _tile_starts).
+    rows = _tile_starts(H, lt_h, sh)
+    cols = _tile_starts(W, lt_w, sw)
 
     tiles = [(y, x) for y in rows for x in cols]
     th, tw = lt_h * sf, lt_w * sf
@@ -234,27 +245,30 @@ def tiled_decode(
     weights = jnp.asarray(np.stack(weights))  # [n, th, tw]
 
     result = None
-    count = jnp.zeros((1, 1, Hp * sf, Wp * sf, 1), jnp.float32)
+    count = jnp.zeros((1, 1, H * sf, W * sf, 1), jnp.float32)
     for g0 in range(0, len(tiles), tile_batch):
         group = tiles[g0 : g0 + tile_batch]
-        batch = jnp.stack([zp[0, :, y : y + lt_h, x : x + lt_w] for (y, x) in group])
-        if tile_sharding is not None and len(group) == tile_batch:
+        n_real = len(group)
+        if n_real < tile_batch:
+            group = group + [group[-1]] * (tile_batch - n_real)  # pad: one shape
+        batch = jnp.stack([z[0, :, y : y + lt_h, x : x + lt_w] for (y, x) in group])
+        if tile_sharding is not None:
             # distribute tiles across the mesh's data axis: on an N-chip
             # slice the spatial tiling becomes tile parallelism (SURVEY §2.3
             # "VAE tiles sharded across mesh devices")
             batch = jax.device_put(batch, tile_sharding)
         dec = slicing_decode(params, cfg, batch)  # [g, T', th, tw, 3]
         if result is None:
-            result = jnp.zeros((1, dec.shape[1], Hp * sf, Wp * sf, 3), jnp.float32)
-        for gi, (y, x) in enumerate(group):
+            result = jnp.zeros((1, dec.shape[1], H * sf, W * sf, 3), jnp.float32)
+        for gi in range(n_real):
+            y, x = group[gi]
             w2 = weights[g0 + gi][None, :, :, None]
             hy, hx = y * sf, x * sf
             result = result.at[0, :, hy : hy + th, hx : hx + tw].add(
                 dec[gi].astype(jnp.float32) * w2
             )
             count = count.at[:, :, hy : hy + th, hx : hx + tw].add(w2[None])
-    out = (result / jnp.clip(count, 1e-6)).astype(z.dtype)
-    return out[:, :, : H * sf, : W * sf]
+    return (result / jnp.clip(count, 1e-6)).astype(z.dtype)
 
 
 # --------------------------------------------------------------------------- #

@@ -13,7 +13,7 @@ one compiled program instead of a CPU round-trip.
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -204,11 +204,15 @@ def masked_histogram_match(
     reference: jnp.ndarray,  # [M]
     ref_mask: jnp.ndarray,  # [M] bool
     min_pixels: int = 100,
+    base: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Fixed-shape masked CDF matching. Valid source values are ranked among
     themselves and mapped to the reference's masked quantiles; invalid lanes
-    keep their original value. Matches the reference's ragged per-bin
-    matching (color_fix.py:698-769) without dynamic shapes."""
+    keep ``base`` (default: the source value). Matches the reference's ragged
+    per-bin matching (color_fix.py:698-769) without dynamic shapes: quantile
+    index = trunc(rank / (n-1) * (m-1)) like torch .long()."""
+    if base is None:
+        base = source
     n = jnp.sum(src_mask)
     m = jnp.sum(ref_mask)
     big = jnp.asarray(jnp.inf, source.dtype)
@@ -220,7 +224,7 @@ def masked_histogram_match(
     N = source.shape[0]
     ranks = jnp.arange(N)
     q = ranks / jnp.maximum(n - 1, 1)
-    ref_idx = jnp.clip(jnp.round(q * (m - 1)).astype(jnp.int32), 0, jnp.maximum(m - 1, 0))
+    ref_idx = jnp.clip((q * (m - 1)).astype(jnp.int32), 0, jnp.maximum(m - 1, 0))
     matched_sorted = ref_sorted[ref_idx]
     # invalid ranks (>= n) keep their (inf) source value; they are never
     # scattered into valid positions below.
@@ -228,7 +232,7 @@ def masked_histogram_match(
 
     scattered = jnp.zeros_like(source).at[order].set(matched_sorted)
     enough = (n > min_pixels) & (m > min_pixels)
-    return jnp.where(src_mask & enough, scattered, source)
+    return jnp.where(src_mask & enough, scattered, base)
 
 
 # --------------------------- composite methods ----------------------------- #
@@ -274,7 +278,10 @@ def hsv_saturation_match(content: jnp.ndarray, style: jnp.ndarray, num_bins: int
         else:
             cm = (ch >= lo) & (ch < hi)
             sm = (sh >= lo) & (sh < hi)
-        matched = masked_histogram_match(matched, cm, ss, sm)
+        # each bin matches from the ORIGINAL saturation (the reference
+        # re-extracts content_s per bin, color_fix.py:730-737 — bin 0's
+        # wrap-around pixels get overwritten again by bin 11)
+        matched = masked_histogram_match(cs, cm, ss, sm, base=matched)
     matched_s = matched.reshape(chsv[:, 1].shape)
     rgb = hsv_to_rgb(jnp.stack([chsv[:, 0], matched_s, cv], axis=1))
     rgb = jnp.clip(rgb, 0.0, 1.0)

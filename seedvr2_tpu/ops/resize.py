@@ -4,18 +4,71 @@ Reference pipeline: NaResize(mode="side") -> clamp -> DivisiblePad(16) ->
 Normalize(0.5, 0.5) (reference: src/core/generation_utils.py:72-84,
 src/data/image/transforms/na_resize.py:23-54, divisible_crop.py:43-80).
 
-The reference resizes with torch bicubic (a=-0.75); jax.image 'cubic' is the
-Keys kernel (a=-0.5). Both are antialiased bicubics; the difference is below
-visible thresholds and is accepted as a framework-level numeric (goldens are
-per-framework, SURVEY.md §7 hard part 4).
+The reference resizes with torch/PIL antialiased bicubic (a=-0.5)
+(torchvision TVF.resize, side_resize.py:60-74; alpha path
+F.interpolate(..., antialias=True), alpha_upscaling.py:341-349). We
+reproduce that exactly: PIL-style separable resample weights (support
+scaled by the downscale factor, boundary taps renormalized) precomputed on
+host per (in, out) pair and applied as two dense matmuls — a layout that
+rides the MXU instead of gather-heavy convolution. Verified bit-close vs
+torch in tests/test_reference_parity.py.
 """
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+def _cubic_kernel(x: np.ndarray, a: float = -0.5) -> np.ndarray:
+    """PIL bicubic kernel (a=-0.5) — torch's antialias=True path is
+    PIL-compatible and uses a=-0.5; only the non-antialiased torch bicubic
+    uses a=-0.75. The reference always resizes with antialias=True
+    (side_resize.py:60-62, alpha_upscaling.py:341-349)."""
+    ax = np.abs(x)
+    return np.where(
+        ax <= 1.0,
+        ((a + 2.0) * ax - (a + 3.0)) * ax * ax + 1.0,
+        np.where(ax < 2.0, (((ax - 5.0) * ax + 8.0) * ax - 4.0) * a, 0.0),
+    )
+
+
+@lru_cache(maxsize=256)
+def resample_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """PIL/torch-antialias separable bicubic weights as a dense
+    [out_size, in_size] float32 matrix (each row has <= 4*max(scale,1)+2
+    nonzeros). Matches torch F.interpolate(mode='bicubic',
+    align_corners=False, antialias=True) for down- AND upscale."""
+    scale = in_size / out_size
+    fscale = max(scale, 1.0)
+    support = 2.0 * fscale
+    m = np.zeros((out_size, in_size), np.float32)
+    for i in range(out_size):
+        center = (i + 0.5) * scale
+        xmin = max(int(center - support + 0.5), 0)
+        xmax = min(int(center + support + 0.5), in_size)
+        xs = np.arange(xmin, xmax, dtype=np.float64)
+        w = _cubic_kernel((xs - center + 0.5) / fscale)
+        s = w.sum()
+        if s != 0.0:
+            w = w / s
+        m[i, xmin:xmax] = w.astype(np.float32)
+    return m
+
+
+def resize_plane(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """[..., H, W, C] -> [..., out_h, out_w, C] torch-parity bicubic."""
+    H, W = x.shape[-3], x.shape[-2]
+    mh = jnp.asarray(resample_matrix(H, out_h))
+    mw = jnp.asarray(resample_matrix(W, out_w))
+    # fp32 islands: image resampling feeds color statistics downstream
+    # (reference keeps these ops in fp32, half_precision_fixes.py:55-121)
+    y = jnp.einsum("hH,...Hwc->...hwc", mh, x.astype(jnp.float32), precision="highest")
+    return jnp.einsum("wW,...hWc->...hwc", mw, y, precision="highest")
 
 
 def side_resize_dims(
@@ -31,10 +84,13 @@ def side_resize_dims(
     return round(h * scale), round(w * scale)
 
 
-def resize_video(video: jnp.ndarray, size: Tuple[int, int], method: str = "cubic") -> jnp.ndarray:
-    """video: [T, H, W, C] -> [T, size[0], size[1], C], antialiased on
-    downscale (matches torchvision antialias=True behaviour)."""
+def resize_video(video: jnp.ndarray, size: Tuple[int, int], method: str = "torch_bicubic") -> jnp.ndarray:
+    """video: [T, H, W, C] -> [T, size[0], size[1], C]. Default is the
+    torch-parity antialiased bicubic (resize_plane); 'cubic'/'linear' fall
+    back to jax.image.resize (Keys a=-0.5 kernel)."""
     T, H, W, C = video.shape
+    if method == "torch_bicubic":
+        return resize_plane(video, size[0], size[1]).astype(video.dtype)
     out = jax.image.resize(
         video.astype(jnp.float32),
         (T, size[0], size[1], C),

@@ -30,10 +30,12 @@ def sobel_edges(rgb01: jnp.ndarray) -> jnp.ndarray:
     the reference's cv2 pipeline: gray = Rec.601 luma on uint8, Sobel ksize=3
     with reflect-101 borders, normalized by max (reference:
     alpha_upscaling.py:125-188)."""
-    gray = (
-        rgb01[..., 0] * 0.299 + rgb01[..., 1] * 0.587 + rgb01[..., 2] * 0.114
+    # reference first quantizes RGB to uint8 ((x*255).clip().astype(uint8),
+    # truncating), THEN converts to luma (alpha_upscaling.py:150-161)
+    rgbq = jnp.floor(jnp.clip(rgb01, 0, 1) * 255.0)
+    gray = jnp.round(
+        rgbq[..., 0] * 0.299 + rgbq[..., 1] * 0.587 + rgbq[..., 2] * 0.114
     )
-    gray = jnp.round(jnp.clip(gray, 0, 1) * 255.0)
     # reflect-101 padding like OpenCV BORDER_DEFAULT
     g = jnp.pad(gray, ((0, 0), (1, 1), (1, 1)), mode="reflect")
     # Sobel x/y via separable [1,2,1] smoothing and [-1,0,1] derivative
@@ -49,8 +51,9 @@ def sobel_edges(rgb01: jnp.ndarray) -> jnp.ndarray:
     sx = conv3(g, (-1.0, 0.0, 1.0), (1.0, 2.0, 1.0))
     sy = conv3(g, (1.0, 2.0, 1.0), (-1.0, 0.0, 1.0))
     mag = jnp.sqrt(sx * sx + sy * sy)
-    mx = jnp.max(mag)
-    # reference: per-batch normalize to [0,255] uint8 then /255
+    # reference: PER-FRAME normalize to [0,255] uint8 (truncating) then /255
+    # (alpha_upscaling.py:163-168, edge.max() inside the frame loop)
+    mx = jnp.max(mag, axis=(1, 2), keepdims=True)
     mag = jnp.floor(mag / jnp.maximum(mx, 1e-8) * 255.0) / 255.0
     return jnp.clip(mag, 0.0, 1.0)
 
@@ -83,10 +86,12 @@ def edge_guided_alpha_upscale(
 ) -> jnp.ndarray:
     """Reference: alpha_upscaling.py:289-438. Binary-vs-gradient branch is a
     host decision (static) computed by the caller from input statistics."""
+    from ..ops.resize import resize_plane
+
     T, H_out, W_out, _ = rgb_up01.shape
-    alpha_up = jax.image.resize(
-        alpha_in.astype(jnp.float32), (T, H_out, W_out), method="cubic", antialias=True
-    )
+    # torch-parity antialiased bicubic (reference: F.interpolate bicubic +
+    # antialias, alpha_upscaling.py:341-349)
+    alpha_up = resize_plane(alpha_in.astype(jnp.float32)[..., None], H_out, W_out)[..., 0]
     alpha_up = jnp.clip(alpha_up, 0.0, 1.0)
     guide = jnp.mean(rgb_up01.astype(jnp.float32), axis=-1)  # gray [T,H,W]
 
