@@ -77,9 +77,14 @@ def parse_arguments(argv: Optional[List[str]] = None) -> argparse.Namespace:
     p.add_argument("--tile_debug", type=str, default="false",
                    choices=["false", "encode", "decode"],
                    help="draw VAE tile boundaries on the output")
+    p.add_argument(
+        "--tensor_offload_device", type=str, default=None,
+        help="reference flag; 'cpu' forces host offload of intermediates, "
+             "'none' keeps them on device (default: auto by HBM pressure)",
+    )
     for flag in [
         "--blocks_to_swap", "--swap_io_components", "--cuda_device",
-        "--dit_offload_device", "--vae_offload_device", "--tensor_offload_device",
+        "--dit_offload_device", "--vae_offload_device",
         "--compile_dit", "--compile_vae", "--compile_mode", "--compile_backend",
         "--compile_fullgraph", "--compile_dynamic", "--compile_dynamo_cache_size_limit",
         "--compile_dynamo_recompile_limit", "--cache_dit", "--cache_vae",
@@ -121,9 +126,13 @@ def build_runner(args):
     else:
         dit_cfg, vae_cfg = dit_3b(), vae_config()  # variant fixed by load_runner
 
+    offload = "auto"
+    if args.tensor_offload_device is not None:
+        offload = "never" if args.tensor_offload_device.lower() in ("none", "cuda", "gpu", "tpu") else "always"
     cfg = PipelineConfig(
         dit=dit_cfg,
         vae=vae_cfg,
+        tensor_offload=offload,
         resolution=args.resolution,
         max_resolution=args.max_resolution,
         batch_size=args.batch_size,
@@ -230,28 +239,55 @@ def main(argv: Optional[List[str]] = None) -> int:
 
         writer = None
         ci = start_chunk
-        for frames in reader.chunks(chunk, args.temporal_overlap if args.chunk_size else 0):
-            if args.load_cap and n_frames >= args.load_cap:
-                break
-            out = process_frames(runner, cfg, frames, debug, mesh, args.tile_debug)
+        ov = args.temporal_overlap if args.chunk_size else 0
+        pending_tail = None  # last `ov` output frames, held back for seam blending
+
+        def emit(arr):
+            nonlocal writer, n_frames
+            if len(arr) == 0:
+                return
             if args.output_format == "png":
-                vio.write_png_sequence(os.path.splitext(out_path)[0], out, start_index=n_frames)
+                vio.write_png_sequence(os.path.splitext(out_path)[0], arr, start_index=n_frames)
             elif manifest is not None:
                 seg = manifest.segment_path(ci)
-                w = vio.make_video_writer(seg, out.shape[2], out.shape[1], fps)
-                w.write(out[..., :3])
+                w = vio.make_video_writer(seg, arr.shape[2], arr.shape[1], fps)
+                w.write(arr[..., :3])
                 w.close()
                 manifest.mark_done(ci, seg)
             else:
                 if writer is None:
                     writer = vio.make_video_writer(
-                        out_path, out.shape[2], out.shape[1], fps, audio_source=args.input
+                        out_path, arr.shape[2], arr.shape[1], fps, audio_source=args.input
                     )
-                writer.write(out[..., :3])
-            n_frames += len(frames)
+                writer.write(arr[..., :3])
+            n_frames += len(arr)
+
+        for frames in reader.chunks(chunk, ov):
+            if args.load_cap and n_frames >= args.load_cap:
+                break
+            out = np.asarray(process_frames(runner, cfg, frames, debug, mesh, args.tile_debug))
+            if pending_tail is not None:
+                # Chunk seam: the first `ov` outputs re-render the previous
+                # chunk's held-back tail frames — Hann-blend, emit once
+                # (reference: inference_cli.py:678-709, 1242-1277).
+                from seedvr2_tpu.ops.blending import overlap_weights
+
+                k = min(ov, len(out), len(pending_tail))
+                w_prev = overlap_weights(k).reshape(k, 1, 1, 1).astype(out.dtype)
+                out = np.concatenate(
+                    [pending_tail[-k:] * w_prev + out[:k] * (1.0 - w_prev), out[k:]], axis=0
+                )
+            if ov > 0 and len(frames) == chunk:
+                # More chunks may follow: hold back the tail for blending.
+                pending_tail, out = out[-ov:], out[:-ov]
+            else:
+                pending_tail = None
+            emit(out)
             ci += 1
             if not args.chunk_size:
                 break
+        if pending_tail is not None:
+            emit(pending_tail)
         if writer is not None:
             writer.close()
         if manifest is not None:

@@ -228,6 +228,10 @@ class PipelineConfig:
     # noise level applied to SR condition latent (cfg condition.noise_scale=0.25
     # in reference yaml is folded into aug-noise at generation_phases.py:683)
     compute_dtype: str = "bfloat16"
+    # Host offload of per-batch intermediates between phases (the
+    # reference's tensor_offload_device): "auto" offloads only when the
+    # run's latents would crowd HBM, "always"/"never" force it.
+    tensor_offload: str = "auto"
     # Keep DiT weights on device only during phase 2 (the analog of the
     # reference's phase-wise model offload, memory_manager.py:670-929).
     # Frees HBM for untiled VAE decode on small-HBM single-chip setups at

@@ -1,21 +1,27 @@
-"""ComfyUI-compatible node layer.
+"""ComfyUI node layer.
 
 Parity with the reference's four V3 nodes (reference: src/interfaces/
 __init__.py:14-29, dit_model_loader.py, vae_model_loader.py,
-torch_compile_settings.py, video_upscaler.py). The nodes are plain classes
-with the same parameter names and the same dict-passing contract
-(SEEDVR2_DIT / SEEDVR2_VAE config dicts into the upscaler node); when
-ComfyUI is importable they register as real nodes, otherwise they work
-standalone (e.g. for scripted pipelines).
+torch_compile_settings.py, video_upscaler.py). One schema table drives two
+frontends:
 
-CUDA-era knobs (blocks_to_swap, torch.compile settings) are accepted for
-drop-in workflow compatibility and ignored — their TPU replacements
-(GSPMD sharding, jax.jit) are always on.
+- When ``comfy_api`` is importable (inside ComfyUI), ``comfy_entrypoint()``
+  returns a V3 ``ComfyExtension`` whose nodes are ``io.ComfyNode`` subclasses
+  built from the table, with per-batch interrupt wired to
+  ``comfy.model_management`` (reference: generation_utils.py:660-663) and a
+  weighted ProgressBar (reference: video_upscaler.py:287-313).
+- Standalone, the same classes work as plain-dict nodes (legacy
+  ``NODE_CLASS_MAPPINGS`` style) for scripted pipelines and tests.
+
+CUDA-era knobs (blocks_to_swap, offload devices, torch.compile settings) are
+accepted for drop-in workflow compatibility and ignored — their TPU
+replacements (GSPMD sharding, jax.jit) are always on.
 """
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
 
@@ -23,7 +29,188 @@ from .config import PipelineConfig, dit_3b, dit_7b, vae_config
 from .io.registry import DEFAULT_DIT, DEFAULT_VAE, available_models, model_variant
 from .utils.debug import Debug
 
-_RUNNER_CACHE: Dict[str, Any] = {}
+# ---------------------------------------------------------------------------
+# Schema table (single source of truth for both frontends)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Inp:
+    name: str
+    kind: str  # Image | Int | Float | Boolean | Combo | Custom:<TYPE>
+    default: Any = None
+    options: Optional[Tuple[str, ...]] = None
+    optional: bool = False
+    ignored: bool = False  # CUDA-only knob, accepted and ignored on TPU
+
+
+def _dit_models() -> Tuple[str, ...]:
+    return tuple(available_models("dit"))
+
+
+def _vae_models() -> Tuple[str, ...]:
+    return tuple(available_models("vae"))
+
+
+_OFFLOAD_OPTS = ("none", "cpu")
+_COLOR_OPTS = ("wavelet", "lab", "hsv", "wavelet_adaptive", "adain", "none")
+# TPU backends first; reference CUDA names alias onto them (ops/attention.py)
+_ATTN_OPTS = ("fused", "pallas", "xla", "sdpa", "flash_attn_2", "flash_attn_3", "sageattn_2", "sageattn_3")
+
+
+def node_schemas() -> Dict[str, Dict[str, Any]]:
+    """Input/output declarations matching the reference node parameter lists
+    (names verified against src/interfaces/*.py in tests/test_interfaces.py)."""
+    return {
+        "SeedVR2LoadDiTModel": {
+            "display_name": "SeedVR2 (Down)Load DiT Model",
+            "outputs": [("SEEDVR2_DIT", "dit")],
+            "inputs": [
+                Inp("model", "Combo", DEFAULT_DIT, _dit_models()),
+                Inp("device", "Combo", "tpu", ("tpu",)),
+                Inp("blocks_to_swap", "Int", 0, optional=True, ignored=True),
+                Inp("swap_io_components", "Boolean", False, optional=True, ignored=True),
+                Inp("offload_device", "Combo", "none", _OFFLOAD_OPTS, optional=True, ignored=True),
+                Inp("cache_model", "Boolean", False, optional=True),
+                Inp("attention_mode", "Combo", "fused", _ATTN_OPTS, optional=True),
+                Inp("torch_compile_args", "Custom:TORCH_COMPILE_ARGS", None, optional=True, ignored=True),
+            ],
+        },
+        "SeedVR2LoadVAEModel": {
+            "display_name": "SeedVR2 (Down)Load VAE Model",
+            "outputs": [("SEEDVR2_VAE", "vae")],
+            "inputs": [
+                Inp("model", "Combo", DEFAULT_VAE, _vae_models()),
+                Inp("device", "Combo", "tpu", ("tpu",)),
+                Inp("encode_tiled", "Boolean", False, optional=True),
+                Inp("encode_tile_size", "Int", 1024, optional=True),
+                Inp("encode_tile_overlap", "Int", 128, optional=True),
+                Inp("decode_tiled", "Boolean", False, optional=True),
+                Inp("decode_tile_size", "Int", 1024, optional=True),
+                Inp("decode_tile_overlap", "Int", 128, optional=True),
+                Inp("tile_debug", "Combo", "false", ("false", "encode", "decode"), optional=True),
+                Inp("offload_device", "Combo", "none", _OFFLOAD_OPTS, optional=True, ignored=True),
+                Inp("cache_model", "Boolean", False, optional=True),
+                Inp("torch_compile_args", "Custom:TORCH_COMPILE_ARGS", None, optional=True, ignored=True),
+            ],
+        },
+        "SeedVR2TorchCompileSettings": {
+            "display_name": "SeedVR2 Torch Compile Settings",
+            "outputs": [("TORCH_COMPILE_ARGS", "torch_compile_args")],
+            "inputs": [
+                Inp("backend", "Combo", "inductor", ("inductor", "cudagraphs"), ignored=True),
+                Inp("mode", "Combo", "default",
+                    ("default", "reduce-overhead", "max-autotune", "max-autotune-no-cudagraphs"),
+                    ignored=True),
+                Inp("fullgraph", "Boolean", False, optional=True, ignored=True),
+                Inp("dynamic", "Boolean", False, optional=True, ignored=True),
+                Inp("dynamo_cache_size_limit", "Int", 64, optional=True, ignored=True),
+                Inp("dynamo_recompile_limit", "Int", 128, optional=True, ignored=True),
+            ],
+        },
+        "SeedVR2VideoUpscaler": {
+            "display_name": "SeedVR2 Video Upscaler",
+            "outputs": [("IMAGE", "image")],
+            "inputs": [
+                Inp("image", "Image"),
+                Inp("dit", "Custom:SEEDVR2_DIT"),
+                Inp("vae", "Custom:SEEDVR2_VAE"),
+                Inp("seed", "Int", 42),
+                Inp("resolution", "Int", 1080),
+                Inp("max_resolution", "Int", 0, optional=True),
+                Inp("batch_size", "Int", 5, optional=True),
+                Inp("uniform_batch_size", "Boolean", False, optional=True),
+                Inp("temporal_overlap", "Int", 0, optional=True),
+                Inp("prepend_frames", "Int", 0, optional=True),
+                Inp("color_correction", "Combo", "wavelet", _COLOR_OPTS, optional=True),
+                Inp("input_noise_scale", "Float", 0.0, optional=True),
+                Inp("latent_noise_scale", "Float", 0.0, optional=True),
+                Inp("offload_device", "Combo", "none", _OFFLOAD_OPTS, optional=True, ignored=True),
+                Inp("enable_debug", "Boolean", False, optional=True),
+            ],
+        },
+    }
+
+
+def _legacy_input_types(node_id: str) -> Dict[str, Any]:
+    """Render the schema table in the legacy INPUT_TYPES dict format."""
+    kinds = {"Int": "INT", "Float": "FLOAT", "Boolean": "BOOLEAN", "Image": "IMAGE"}
+    out: Dict[str, Dict[str, Any]] = {"required": {}, "optional": {}}
+    for inp in node_schemas()[node_id]["inputs"]:
+        bucket = "optional" if inp.optional else "required"
+        if inp.kind == "Combo":
+            out[bucket][inp.name] = (list(inp.options or ()), {"default": inp.default})
+        elif inp.kind.startswith("Custom:"):
+            out[bucket][inp.name] = (inp.kind.split(":", 1)[1],)
+        elif inp.kind == "Image":
+            out[bucket][inp.name] = ("IMAGE",)
+        else:
+            out[bucket][inp.name] = (kinds[inp.kind], {"default": inp.default})
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Global runner cache (reference: src/core/model_cache.py:10-231 — process-wide
+# cache keyed by node ids, with staleness eviction when the node's model
+# selection changes; on TPU the cached unit is the whole Runner since DiT and
+# VAE stay resident together)
+# ---------------------------------------------------------------------------
+
+
+class GlobalRunnerCache:
+    def __init__(self):
+        self._entries: Dict[str, Tuple[Tuple, Any]] = {}
+
+    def get(self, key: str, signature: Tuple) -> Optional[Any]:
+        entry = self._entries.get(key)
+        if entry is None:
+            return None
+        if entry[0] != signature:
+            # model selection changed under the same node ids -> stale
+            self.remove(key)
+            return None
+        return entry[1]
+
+    def put(self, key: str, signature: Tuple, runner: Any) -> None:
+        self._entries[key] = (signature, runner)
+
+    def remove(self, key: str) -> None:
+        entry = self._entries.pop(key, None)
+        if entry is not None:
+            runner = entry[1]
+            release = getattr(runner, "release_dit", None)
+            if release is not None:
+                release()
+
+    def clear(self) -> None:
+        for key in list(self._entries):
+            self.remove(key)
+
+    def __len__(self) -> int:
+        return len(self._entries)
+
+
+_GLOBAL_CACHE = GlobalRunnerCache()
+
+
+def get_global_cache() -> GlobalRunnerCache:
+    return _GLOBAL_CACHE
+
+
+def _comfy_interrupt_fn():
+    """Per-batch user interrupt inside ComfyUI (reference:
+    generation_utils.py:660-663)."""
+    try:
+        from comfy import model_management
+    except ImportError:
+        return None
+    return model_management.throw_exception_if_processing_interrupted
+
+
+# ---------------------------------------------------------------------------
+# Standalone node classes (legacy dict style; also the execution backend for
+# the V3 wrappers below)
+# ---------------------------------------------------------------------------
 
 
 class SeedVR2LoadDiTModel:
@@ -35,17 +222,7 @@ class SeedVR2LoadDiTModel:
 
     @classmethod
     def INPUT_TYPES(cls):
-        return {
-            "required": {
-                "model": (available_models("dit"), {"default": DEFAULT_DIT}),
-                "device": (["tpu"], {"default": "tpu"}),
-            },
-            "optional": {
-                "cache_model": ("BOOLEAN", {"default": False}),
-                "blocks_to_swap": ("INT", {"default": 0}),  # ignored on TPU
-                "attention_mode": (["pallas", "xla"], {"default": "pallas"}),
-            },
-        }
+        return _legacy_input_types("SeedVR2LoadDiTModel")
 
     def execute(
         self,
@@ -53,8 +230,8 @@ class SeedVR2LoadDiTModel:
         device: str = "tpu",
         cache_model: bool = False,
         blocks_to_swap: int = 0,
-        attention_mode: str = "pallas",
-        node_id: Optional[int] = None,
+        attention_mode: str = "fused",
+        node_id: Optional[Any] = None,
         **_ignored,
     ):
         return (
@@ -77,21 +254,7 @@ class SeedVR2LoadVAEModel:
 
     @classmethod
     def INPUT_TYPES(cls):
-        return {
-            "required": {
-                "model": (available_models("vae"), {"default": DEFAULT_VAE}),
-                "device": (["tpu"], {"default": "tpu"}),
-            },
-            "optional": {
-                "cache_model": ("BOOLEAN", {"default": False}),
-                "encode_tiled": ("BOOLEAN", {"default": False}),
-                "encode_tile_size": ("INT", {"default": 512}),
-                "encode_tile_overlap": ("INT", {"default": 64}),
-                "decode_tiled": ("BOOLEAN", {"default": False}),
-                "decode_tile_size": ("INT", {"default": 512}),
-                "decode_tile_overlap": ("INT", {"default": 64}),
-            },
-        }
+        return _legacy_input_types("SeedVR2LoadVAEModel")
 
     def execute(
         self,
@@ -99,12 +262,13 @@ class SeedVR2LoadVAEModel:
         device: str = "tpu",
         cache_model: bool = False,
         encode_tiled: bool = False,
-        encode_tile_size: int = 512,
-        encode_tile_overlap: int = 64,
+        encode_tile_size: int = 1024,
+        encode_tile_overlap: int = 128,
         decode_tiled: bool = False,
-        decode_tile_size: int = 512,
-        decode_tile_overlap: int = 64,
-        node_id: Optional[int] = None,
+        decode_tile_size: int = 1024,
+        decode_tile_overlap: int = 128,
+        tile_debug: str = "false",
+        node_id: Optional[Any] = None,
         **_ignored,
     ):
         return (
@@ -118,6 +282,7 @@ class SeedVR2LoadVAEModel:
                 "decode_tiled": decode_tiled,
                 "decode_tile_size": (decode_tile_size, decode_tile_size),
                 "decode_tile_overlap": (decode_tile_overlap, decode_tile_overlap),
+                "tile_debug": tile_debug,
                 "node_id": node_id,
             },
         )
@@ -134,7 +299,7 @@ class SeedVR2TorchCompileSettings:
 
     @classmethod
     def INPUT_TYPES(cls):
-        return {"required": {}, "optional": {"mode": (["default"], {"default": "default"})}}
+        return _legacy_input_types("SeedVR2TorchCompileSettings")
 
     def execute(self, **kwargs):
         return (dict(kwargs),)
@@ -151,35 +316,13 @@ class SeedVR2VideoUpscaler:
 
     @classmethod
     def INPUT_TYPES(cls):
-        return {
-            "required": {
-                "images": ("IMAGE",),
-                "dit": ("SEEDVR2_DIT",),
-                "vae": ("SEEDVR2_VAE",),
-                "resolution": ("INT", {"default": 1080}),
-                "seed": ("INT", {"default": 42}),
-            },
-            "optional": {
-                "max_resolution": ("INT", {"default": 0}),
-                "batch_size": ("INT", {"default": 5}),
-                "uniform_batch_size": ("BOOLEAN", {"default": False}),
-                "temporal_overlap": ("INT", {"default": 0}),
-                "prepend_frames": ("INT", {"default": 0}),
-                "color_correction": (
-                    ["wavelet", "lab", "hsv", "wavelet_adaptive", "adain", "none"],
-                    {"default": "wavelet"},
-                ),
-                "input_noise_scale": ("FLOAT", {"default": 0.0}),
-                "latent_noise_scale": ("FLOAT", {"default": 0.0}),
-                "torch_compile_args": ("TORCH_COMPILE_ARGS",),
-            },
-        }
+        return _legacy_input_types("SeedVR2VideoUpscaler")
 
     def execute(
         self,
-        images,
-        dit: Dict[str, Any],
-        vae: Dict[str, Any],
+        image=None,
+        dit: Dict[str, Any] = None,
+        vae: Dict[str, Any] = None,
         resolution: int = 1080,
         seed: int = 42,
         max_resolution: int = 0,
@@ -194,20 +337,39 @@ class SeedVR2VideoUpscaler:
         model_dir: str = "./models",
         progress_callback=None,
         enable_debug: bool = False,
+        images=None,  # pre-V3 alias for `image`
         **_ignored,
     ):
         from .pipeline import phases
 
+        if image is None:
+            image = images
         debug = Debug(enable_debug)
         runner = self._get_runner(dit, vae, resolution, max_resolution, batch_size,
                                   uniform_batch_size, temporal_overlap, prepend_frames,
                                   seed, color_correction, input_noise_scale,
                                   latent_noise_scale, model_dir, debug)
 
-        frames = np.asarray(images, np.float32)
+        frames = np.asarray(image, np.float32)
         cb = self._weighted_progress(progress_callback) if progress_callback else None
-        out = phases.generate(runner, frames, debug=debug, progress_callback=cb)
+        out = phases.generate(
+            runner, frames, debug=debug, progress_callback=cb,
+            interrupt_fn=_comfy_interrupt_fn(),
+        )
+        if vae.get("tile_debug", "false") in ("encode", "decode"):
+            out = self._draw_tile_debug(out, runner.cfg, vae["tile_debug"])
         return (out,)
+
+    def _draw_tile_debug(self, out, cfg, which):
+        from .utils.tile_debug import draw_tile_boundaries, tile_boundaries
+
+        tiled = cfg.encode_tiled if which == "encode" else cfg.decode_tiled
+        if not tiled:
+            return out
+        ts = cfg.encode_tile_size if which == "encode" else cfg.decode_tile_size
+        to = cfg.encode_tile_overlap if which == "encode" else cfg.decode_tile_overlap
+        bounds = tile_boundaries(out.shape[1], out.shape[2], ts, to)
+        return draw_tile_boundaries(out, bounds)
 
     def _weighted_progress(self, cb):
         names = ["Phase 1: Encoding", "Phase 2: Upscaling", "Phase 3: Decoding", "Phase 4: Post-processing"]
@@ -226,12 +388,26 @@ class SeedVR2VideoUpscaler:
         from .ops.attention import set_attention_backend
         from .pipeline.loader import load_runner
 
-        set_attention_backend(dit.get("attention_mode", "pallas"))
+        set_attention_backend(dit.get("attention_mode", "fused"))
         dit_name = dit["model"]
-        dit_cfg = dit_7b() if model_variant(dit_name) == "7b" else dit_3b()
+        variant = model_variant(dit_name)
+        if variant == "tiny":  # smoke-test checkpoints (CI-sized models)
+            import dataclasses
+
+            from .config import dit_tiny, vae_tiny
+
+            vae_cfg = vae_tiny()
+            dit_cfg = dataclasses.replace(
+                dit_tiny(),
+                vid_in_channels=2 * vae_cfg.latent_channels + 1,
+                vid_out_channels=vae_cfg.latent_channels,
+            )
+        else:
+            vae_cfg = vae_config()
+            dit_cfg = dit_7b() if variant == "7b" else dit_3b()
         cfg = PipelineConfig(
             dit=dit_cfg,
-            vae=vae_config(),
+            vae=vae_cfg,
             resolution=resolution,
             max_resolution=max_resolution,
             batch_size=batch_size,
@@ -243,17 +419,22 @@ class SeedVR2VideoUpscaler:
             input_noise_scale=in_noise,
             latent_noise_scale=lat_noise,
             encode_tiled=vae.get("encode_tiled", False),
-            encode_tile_size=tuple(vae.get("encode_tile_size", (512, 512))),
-            encode_tile_overlap=tuple(vae.get("encode_tile_overlap", (64, 64))),
+            encode_tile_size=tuple(vae.get("encode_tile_size", (1024, 1024))),
+            encode_tile_overlap=tuple(vae.get("encode_tile_overlap", (128, 128))),
             decode_tiled=vae.get("decode_tiled", False),
-            decode_tile_size=tuple(vae.get("decode_tile_size", (512, 512))),
-            decode_tile_overlap=tuple(vae.get("decode_tile_overlap", (64, 64))),
+            decode_tile_size=tuple(vae.get("decode_tile_size", (1024, 1024))),
+            decode_tile_overlap=tuple(vae.get("decode_tile_overlap", (128, 128))),
         )
-        cache_key = f"{dit_name}+{vae['model']}"
-        if dit.get("cache_model") and cache_key in _RUNNER_CACHE:
-            runner = _RUNNER_CACHE[cache_key]
-            runner.cfg = cfg
-            return runner
+        # Cache keyed by node ids when the host UI provides them (reference:
+        # model_cache.py "ditid+vaeid" template key), else by model names.
+        cache_key = f"{dit.get('node_id') or dit_name}+{vae.get('node_id') or vae['model']}"
+        signature = (dit_name, vae["model"], dit.get("attention_mode", "fused"))
+        want_cache = bool(dit.get("cache_model") or vae.get("cache_model"))
+        if want_cache:
+            cached = _GLOBAL_CACHE.get(cache_key, signature)
+            if cached is not None:
+                cached.cfg = cfg
+                return cached
 
         runner = load_runner(
             dit_model=dit_name,
@@ -262,8 +443,8 @@ class SeedVR2VideoUpscaler:
             cfg=cfg,
             debug=debug,
         )
-        if dit.get("cache_model") or vae.get("cache_model"):
-            _RUNNER_CACHE[cache_key] = runner
+        if want_cache:
+            _GLOBAL_CACHE.put(cache_key, signature, runner)
         return runner
 
 
@@ -274,4 +455,96 @@ NODE_CLASS_MAPPINGS = {
     "SeedVR2TorchCompileSettings": SeedVR2TorchCompileSettings,
 }
 
-__all__ = list(NODE_CLASS_MAPPINGS) + ["NODE_CLASS_MAPPINGS"]
+
+# ---------------------------------------------------------------------------
+# ComfyUI V3 extension (reference: src/interfaces/__init__.py:14-29). Built
+# lazily so the module imports cleanly outside ComfyUI.
+# ---------------------------------------------------------------------------
+
+
+def _build_v3_nodes():
+    from comfy_api.latest import ComfyExtension, io
+
+    def make_input(inp: Inp):
+        if inp.kind == "Image":
+            return io.Image.Input(inp.name)
+        if inp.kind.startswith("Custom:"):
+            return io.Custom(inp.kind.split(":", 1)[1]).Input(inp.name, optional=inp.optional)
+        cls = getattr(io, inp.kind)
+        kw = {"default": inp.default, "optional": inp.optional}
+        if inp.kind == "Combo":
+            kw["options"] = list(inp.options or ())
+        return cls.Input(inp.name, **kw)
+
+    def make_output(kind: str, name: str):
+        if kind == "IMAGE":
+            return io.Image.Output(display_name=name)
+        return io.Custom(kind).Output(display_name=name)
+
+    nodes = []
+    for node_id, spec in node_schemas().items():
+        backend = NODE_CLASS_MAPPINGS[node_id]
+
+        def make_execute(backend_cls, nid):
+            @classmethod
+            def execute(cls, **kwargs):
+                try:
+                    from comfy_api.latest import get_executing_context
+
+                    ectx = get_executing_context()
+                    kwargs.setdefault("node_id", getattr(ectx, "node_id", None))
+                except Exception:
+                    pass
+                if nid == "SeedVR2VideoUpscaler":
+                    kwargs.setdefault("progress_callback", _v3_progress())
+                result = backend_cls().execute(**kwargs)
+                return io.NodeOutput(*result)
+
+            return execute
+
+        schema = io.Schema(
+            node_id=node_id,
+            display_name=spec["display_name"],
+            category="SEEDVR2",
+            inputs=[make_input(i) for i in spec["inputs"]],
+            outputs=[make_output(k, n) for k, n in spec["outputs"]],
+        )
+        node_cls = type(
+            node_id,
+            (io.ComfyNode,),
+            {
+                "define_schema": classmethod(lambda cls, _s=schema: _s),
+                "execute": make_execute(backend, node_id),
+            },
+        )
+        nodes.append(node_cls)
+
+    class SeedVR2Extension(ComfyExtension):
+        async def get_node_list(self):
+            return nodes
+
+    return SeedVR2Extension
+
+
+def _v3_progress():
+    """Absolute 0..100 ProgressBar like the reference (video_upscaler.py:313)."""
+    try:
+        from comfy.utils import ProgressBar
+    except ImportError:
+        return None
+    pbar = ProgressBar(100)
+    return lambda frac: pbar.update_absolute(int(frac * 100), 100)
+
+
+async def comfy_entrypoint():
+    """ComfyUI V3 entry point (reference: src/interfaces/__init__.py:27-29)."""
+    return _build_v3_nodes()()
+
+
+__all__ = list(NODE_CLASS_MAPPINGS) + [
+    "NODE_CLASS_MAPPINGS",
+    "node_schemas",
+    "comfy_entrypoint",
+    "get_global_cache",
+    "GlobalRunnerCache",
+]

@@ -107,6 +107,10 @@ class VideoReader:
                 chunk = fresh
             if len(chunk) == 0:
                 return
+            if carry is not None and len(fresh) == 0:
+                # Nothing new: the would-be chunk is exactly the carried
+                # overlap, whose frames were already yielded last time.
+                return
             yield chunk
             if len(fresh) < need:
                 return

@@ -41,63 +41,63 @@ def window_sizes_720p(
     return wt, wh, ww
 
 
+def _axis_cuts(extent: int, win: int, shifted: bool) -> List[Tuple[int, int]]:
+    """Half-open ``(start, stop)`` intervals covering ``[0, extent)``.
+
+    Unshifted: aligned cuts every ``win`` tokens, last one clipped.  Shifted
+    (only when the axis holds more than one window): the grid moves back by
+    half a window, producing a leading partial window, full interior windows
+    at ``int((i + 0.5) * win)`` boundaries, and a trailing partial window.
+    The boundary formula must match the reference partition exactly for
+    checkpoint parity (reference: src/models/dit_3b/window.py:28-83);
+    tests/test_windows.py compares against it directly.
+    """
+    if win >= extent:
+        return [(0, extent)]
+    if not shifted:
+        return [(lo, min(lo + win, extent)) for lo in range(0, extent, win)]
+    cuts: List[Tuple[int, int]] = []
+    hi = 0
+    i = 0
+    while hi < extent:
+        lo = hi
+        hi = min(int((i + 0.5) * win), extent)
+        i += 1
+        if hi > lo:
+            cuts.append((lo, hi))
+    return cuts
+
+
+def _grid(
+    size: Tuple[int, int, int], num_windows: Tuple[int, int, int], shifted: bool
+) -> List[Slice3]:
+    """Cartesian product of per-axis cuts as slice triples, ordered w-major
+    then h then t (the reference's window enumeration order)."""
+    t, h, w = size
+    wt, wh, ww = window_sizes_720p(size, num_windows)
+    t_cuts = _axis_cuts(t, wt, shifted)
+    h_cuts = _axis_cuts(h, wh, shifted)
+    w_cuts = _axis_cuts(w, ww, shifted)
+    out: List[Slice3] = []
+    for w_lo, w_hi in w_cuts:
+        for h_lo, h_hi in h_cuts:
+            for t_lo, t_hi in t_cuts:
+                out.append((slice(t_lo, t_hi), slice(h_lo, h_hi), slice(w_lo, w_hi)))
+    return out
+
+
 def make_windows(
     size: Tuple[int, int, int], num_windows: Tuple[int, int, int]
 ) -> List[Slice3]:
-    """Plain window grid (reference: window.py:28-49). Iteration order is
-    w-major, then h, then t — preserved for parity."""
-    t, h, w = size
-    wt, wh, ww = window_sizes_720p(size, num_windows)
-    nt, nh, nw = math.ceil(t / wt), math.ceil(h / wh), math.ceil(w / ww)
-    return [
-        (
-            slice(it * wt, min((it + 1) * wt, t)),
-            slice(ih * wh, min((ih + 1) * wh, h)),
-            slice(iw * ww, min((iw + 1) * ww, w)),
-        )
-        for iw in range(nw)
-        if min((iw + 1) * ww, w) > iw * ww
-        for ih in range(nh)
-        if min((ih + 1) * wh, h) > ih * wh
-        for it in range(nt)
-        if min((it + 1) * wt, t) > it * wt
-    ]
+    """Plain window grid (reference: window.py:28-49)."""
+    return _grid(size, num_windows, shifted=False)
 
 
 def make_shifted_windows(
     size: Tuple[int, int, int], num_windows: Tuple[int, int, int]
 ) -> List[Slice3]:
     """Half-window shifted grid (reference: window.py:51-83)."""
-    t, h, w = size
-    wt, wh, ww = window_sizes_720p(size, num_windows)
-    st, sh, sw = (
-        0.5 if wt < t else 0,
-        0.5 if wh < h else 0,
-        0.5 if ww < w else 0,
-    )
-    nt, nh, nw = (
-        math.ceil((t - st) / wt),
-        math.ceil((h - sh) / wh),
-        math.ceil((w - sw) / ww),
-    )
-    nt, nh, nw = (
-        nt + 1 if st > 0 else 1,
-        nh + 1 if sh > 0 else 1,
-        nw + 1 if sw > 0 else 1,
-    )
-    return [
-        (
-            slice(max(int((it - st) * wt), 0), min(int((it - st + 1) * wt), t)),
-            slice(max(int((ih - sh) * wh), 0), min(int((ih - sh + 1) * wh), h)),
-            slice(max(int((iw - sw) * ww), 0), min(int((iw - sw + 1) * ww), w)),
-        )
-        for iw in range(nw)
-        if min(int((iw - sw + 1) * ww), w) > max(int((iw - sw) * ww), 0)
-        for ih in range(nh)
-        if min(int((ih - sh + 1) * wh), h) > max(int((ih - sh) * wh), 0)
-        for it in range(nt)
-        if min(int((it - st + 1) * wt), t) > max(int((it - st) * wt), 0)
-    ]
+    return _grid(size, num_windows, shifted=True)
 
 
 def get_window_op(method: str):

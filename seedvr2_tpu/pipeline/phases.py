@@ -138,7 +138,7 @@ def encode_all_batches(
             blend = cfg.input_noise_scale * 0.5
             tv = tv * (1 - blend) + (tv + noise) * blend
         latent = runner.vae_encode(tv[None].astype(jnp.dtype(cfg.compute_dtype)))
-        ctx["all_latents"][bi] = jax.device_get(latent[0]) if _offload(cfg) else latent[0]
+        ctx["all_latents"][bi] = jax.device_get(latent[0]) if _offload(cfg, ctx) else latent[0]
         debug.end_timer(f"encode_batch_{bi+1}", f"Encoded batch {bi+1}/{len(specs)}")
         if progress_callback:
             progress_callback(bi + 1, len(specs), spec.ori_length, "Phase 1: Encoding")
@@ -165,7 +165,7 @@ def upscale_all_batches(
         debug.start_timer(f"upscale_batch_{bi+1}")
         lat = jnp.asarray(latent)[None]
         up = runner.upscale(lat, cfg.seed)
-        ctx["all_upscaled"][bi] = jax.device_get(up[0]) if _offload(cfg) else up[0]
+        ctx["all_upscaled"][bi] = jax.device_get(up[0]) if _offload(cfg, ctx) else up[0]
         ctx["all_latents"][bi] = None
         debug.end_timer(f"upscale_batch_{bi+1}", f"Upscaled batch {bi+1}/{n}")
         if progress_callback:
@@ -328,12 +328,16 @@ def generate(
     cfg: Optional[PipelineConfig] = None,
     debug: Optional[Debug] = None,
     progress_callback: Optional[Callable] = None,
+    interrupt_fn: Optional[Callable] = None,
 ) -> np.ndarray:
-    """End-to-end: frames in [0,1] THWC -> upscaled frames in [0,1] THWC."""
+    """End-to-end: frames in [0,1] THWC -> upscaled frames in [0,1] THWC.
+    ``interrupt_fn`` is called before every batch and may raise to abort
+    (the reference's ComfyUI interrupt hook, generation_utils.py:660-663)."""
     import time
 
     cfg = cfg or runner.cfg
     ctx = make_context(cfg, debug)
+    ctx["interrupt_fn"] = interrupt_fn
     t0 = time.perf_counter()
     encode_all_batches(runner, ctx, images, progress_callback)
     upscale_all_batches(runner, ctx, progress_callback)
@@ -358,8 +362,42 @@ def generate(
     return ctx["final_video"]
 
 
-def _offload(cfg: PipelineConfig) -> bool:
+def _hbm_bytes() -> int:
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        limit = stats.get("bytes_limit")
+        if limit:
+            return int(limit)
+    except Exception:
+        pass
+    return 16 << 30  # v5e-class default
+
+
+def _offload(cfg: PipelineConfig, ctx: Dict[str, Any]) -> bool:
     """Pull intermediates to host RAM between phases (the reference's
-    tensor_offload_device). Cheap insurance against HBM growth on long
-    videos; device_put round-trips overlap with the next batch's compute."""
-    return True
+    tensor_offload_device, generation_phases.py:495-515).
+
+    "auto" offloads only when the whole run's held intermediates (latents +
+    upscaled latents for every batch) would exceed ~20% of HBM — short clips
+    stay resident and skip the host round-trip entirely, which matters when
+    the host link is slow (measured ~40MB/s on the dev tunnel)."""
+    mode = cfg.tensor_offload
+    if mode == "always":
+        return True
+    if mode == "never":
+        return False
+    cached = ctx.get("_offload_auto")
+    if cached is None:
+        th, tw = ctx["true_dims"]
+        total = max(ctx["total_frames"], 1)
+        lat_frames = total // 4 + 1  # 4x temporal compression, 4n+1 batches
+        per_elem = 2  # bf16 at rest
+        est = 2 * lat_frames * (th // 8) * (tw // 8) * cfg.vae.latent_channels * per_elem
+        cached = est > 0.2 * _hbm_bytes()
+        ctx["_offload_auto"] = cached
+        if cached:
+            ctx["debug"].log(
+                f"Offloading intermediates to host (~{est / 2**30:.1f} GiB latents)",
+                category="memory",
+            )
+    return cached

@@ -88,3 +88,34 @@ def test_cli_video_end_to_end(tiny_model_dir, tmp_path):
     r = vio.VideoReader(out)
     assert r.total_frames == 6
     r.close()
+
+
+@pytest.mark.parametrize("n_in", [12, 14])  # 14: last chunk is exactly the carry
+def test_cli_chunked_overlap_frame_count(tiny_model_dir, tmp_path, n_in):
+    """Chunked streaming with temporal overlap must emit each input frame
+    exactly once, seam-blended (reference: inference_cli.py:678-709)."""
+    frames = (np.random.RandomState(2).rand(n_in, 20, 24, 3) > 0.5).astype(np.float32)
+    inp = str(tmp_path / f"in{n_in}.mp4")
+    out = str(tmp_path / f"out{n_in}.mp4")
+    w = vio.make_video_writer(inp, 24, 20, 10.0)
+    w.write(frames)
+    w.close()
+
+    rc = inference_cli.main(
+        [
+            inp,
+            "--output", out,
+            "--dit_model", "tiny_dit.safetensors",
+            "--vae_model", "tiny_vae.safetensors",
+            "--model_dir", str(tiny_model_dir),
+            "--resolution", "32",
+            "--color_correction", "none",
+            "--batch_size", "5",
+            "--chunk_size", "8",
+            "--temporal_overlap", "2",
+        ]
+    )
+    assert rc == 0
+    r = vio.VideoReader(out)
+    assert r.total_frames == n_in
+    r.close()
