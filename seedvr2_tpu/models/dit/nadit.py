@@ -406,8 +406,15 @@ def _window_attention_fused(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Head-major path feeding ops/fused_window_attention.py: every layout
     change rides a GEMM (projection in/out), rope+mask+softmax live in the
-    kernel. Numerically equivalent to _window_attention (tests)."""
-    from ...ops.fused_window_attention import fused_window_attention
+    kernel. Numerically equivalent to _window_attention (tests). Under
+    seq/tensor sharding hints the kernel runs inside shard_map with windows
+    sharded over "seq" and heads over "tensor" (no collectives inside —
+    windows are independent)."""
+    from ...ops.fused_window_attention import (
+        fused_window_attention,
+        fused_window_attention_sharded,
+    )
+    from ...parallel.sp import current_hints
 
     B, L, D = vid.shape
     Lt = txt.shape[1]
@@ -463,7 +470,17 @@ def _window_attention_fused(
     )
     valid = jnp.asarray(plan.valid)
 
-    ovid, otxt = fused_window_attention(vid_win, txt_qkv, vang, tang, valid, rope_txt)
+    hints = current_hints()
+    if hints is not None:
+        ovid, otxt = fused_window_attention_sharded(
+            vid_win, txt_qkv, vang, tang, valid, rope_txt,
+            hints.mesh, seq=hints.seq, tensor=hints.tensor,
+        )
+        # drop seq-padding windows (all-invalid) before scatter/coalesce
+        ovid = ovid[:, :, :nW]
+        otxt = otxt[:, :, :nW]
+    else:
+        ovid, otxt = fused_window_attention(vid_win, txt_qkv, vang, tang, valid, rope_txt)
     # scatter windows back (token order) in head-major layout
     inv = jnp.asarray(plan.inverse)
     vid_tok = jnp.take(ovid.reshape(B, H, nW * mL, hd), inv, axis=2)  # [B,H,L,hd]
@@ -504,11 +521,11 @@ def block_forward(
     else:
         vid_a = _ada(p["ada"], "vid", vid_a, emb_slices, 0, "in")
     from ...ops.attention import get_attention_backend
-    from ...parallel.sp import current_hints
 
-    # The fused kernel is single-device-oriented; under explicit seq/tensor
-    # sharding hints the GSPMD-annotated reference path is used instead.
-    if get_attention_backend() == "fused" and current_hints() is None:
+    # Fused kernel in all modes (reference runs flash-attn in all modes,
+    # compatibility.py:286-384); under seq/tensor sharding it runs inside
+    # shard_map (ops/fused_window_attention.py:fused_window_attention_sharded).
+    if get_attention_backend() == "fused":
         vid_a, txt_a = _window_attention_fused(p["attn"], cfg, vid_a, txt_a, lp)
     else:
         vid_a, txt_a = _window_attention(p["attn"], cfg, vid_a, txt_a, lp, True)

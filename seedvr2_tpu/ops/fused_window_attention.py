@@ -151,3 +151,70 @@ def fused_window_attention(
         ),
     )(vq, vk, vv, tq, tk, tv, cos, sin, tcos, tsin, mask)
     return ovid, otxt
+
+
+def fused_window_attention_sharded(
+    vid_qkv: jnp.ndarray,  # [B, 3, H, nW, S, D]
+    txt_qkv: jnp.ndarray,  # [B, 3, H, Lt, D]
+    vid_angles: jnp.ndarray,  # [nW, S, D]
+    txt_angles: jnp.ndarray,  # [Lt, D]
+    valid: jnp.ndarray,  # [nW, S]
+    rope_txt: bool,
+    mesh: jax.sharding.Mesh,
+    seq: bool = True,
+    tensor: bool = True,
+    interpret: Optional[bool] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Run the fused kernel under seq/tensor sharding via shard_map.
+
+    Windows are independent, so the window axis shards over "seq" and the
+    head axis over "tensor" with NO collectives inside — each device runs
+    the kernel on its local (nW/seq, H/tensor) shard (the reference instead
+    runs flash-attn after hand-written all-to-alls, distributed/ops.py:
+    188-229). The batch axis rides "data". Windows are padded to a multiple
+    of the seq axis with all-invalid windows; callers must slice outputs
+    back to the true window count before the text mean-coalesce.
+
+    Returns (vid_out [B, H, nW_pad, S, D], txt_out [B, H, nW_pad, Lt, D],
+    where nW_pad = ceil(nW / seq_size) * seq_size).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import AXIS_DATA, AXIS_SEQ, AXIS_TENSOR
+
+    B, _, H, nW, S, D = vid_qkv.shape
+    ns = mesh.shape[AXIS_SEQ] if seq else 1
+    nt = mesh.shape[AXIS_TENSOR] if tensor else 1
+    nd = mesh.shape[AXIS_DATA]
+    if H % nt != 0 or B % nd != 0:
+        # heads/batch don't split cleanly -> single-program fallback
+        return fused_window_attention(
+            vid_qkv, txt_qkv, vid_angles, txt_angles, valid, rope_txt, interpret
+        )
+
+    pad_w = (-nW) % ns
+    if pad_w:
+        vid_qkv = jnp.pad(vid_qkv, ((0, 0), (0, 0), (0, 0), (0, pad_w), (0, 0), (0, 0)))
+        vid_angles = jnp.pad(vid_angles, ((0, pad_w), (0, 0), (0, 0)))
+        valid = jnp.pad(valid, ((0, pad_w), (0, 0)))  # padded windows: all-invalid
+
+    s_ax = AXIS_SEQ if seq else None
+    t_ax = AXIS_TENSOR if tensor else None
+    in_specs = (
+        P(AXIS_DATA, None, t_ax, s_ax, None, None),  # vid_qkv
+        P(AXIS_DATA, None, t_ax, None, None),  # txt_qkv
+        P(s_ax, None, None),  # vid_angles
+        P(None, None),  # txt_angles (replicated)
+        P(s_ax, None),  # valid
+    )
+    out_specs = (
+        P(AXIS_DATA, t_ax, s_ax, None, None),  # ovid
+        P(AXIS_DATA, t_ax, s_ax, None, None),  # otxt
+    )
+
+    def local(vqkv, tqkv, vang, tang, vld):
+        return fused_window_attention(vqkv, tqkv, vang, tang, vld, rope_txt, interpret)
+
+    f = jax.shard_map(local, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                      check_vma=False)
+    return f(vid_qkv, txt_qkv, vid_angles, txt_angles, valid)

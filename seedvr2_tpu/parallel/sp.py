@@ -35,6 +35,8 @@ class ShardingHints:
 
     def __init__(self, mesh: jax.sharding.Mesh, seq: bool = True, tensor: bool = True):
         self.mesh = mesh
+        self.seq = seq
+        self.tensor = tensor
         s = AXIS_SEQ if seq else None
         t = AXIS_TENSOR if tensor else None
         self.tokens = P(None, s, None)  # [B, L, D]

@@ -44,6 +44,36 @@ def test_sharded_dit_matches_single_device():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=1e-3)
 
 
+def test_sharded_fused_attention_with_window_padding():
+    """The fused kernel under shard_map must match unsharded even when the
+    window count does not divide the seq axis (pad windows are all-invalid
+    and sliced off before the text mean-coalesce)."""
+    from seedvr2_tpu.ops.attention import get_attention_backend
+
+    assert get_attention_backend() == "fused"
+    cfg = dit_tiny()
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    thw, txt_len = (3, 8, 8), 4  # 3 temporal windows -> pad to 4 on seq=2
+    plans = build_attn_plans(cfg, thw, txt_len)
+    vid = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 16, 16, cfg.vid_in_channels)) * 0.3
+    txt = jax.random.normal(jax.random.PRNGKey(2), (2, txt_len, cfg.txt_in_dim)) * 0.3
+    t = jnp.array([1000.0, 1000.0])
+    assert plans.plain.plan.n_win % 2 == 1  # exercises the pad path
+
+    ref = nadit_forward(params, cfg, vid, txt, t, plans)
+
+    mesh = make_mesh(2, 2, 2)
+    sparams = shard_params(params, dit_param_shardings(params, mesh))
+    svid = jax.device_put(vid, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data")))
+
+    def f(p, v, tx, ts):
+        with sharded_dit(mesh):
+            return nadit_forward(p, cfg, v, tx, ts, plans)
+
+    out = jax.jit(f)(sparams, svid, txt, t)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=1e-3)
+
+
 def test_qkv_sharding_spec():
     cfg = dit_tiny()
     params = init_params(cfg, jax.random.PRNGKey(0))
