@@ -223,7 +223,9 @@ class PipelineConfig:
     decode_tiled: bool = False
     decode_tile_size: Tuple[int, int] = (512, 512)
     decode_tile_overlap: Tuple[int, int] = (64, 64)
-    # tiles decoded per executable call (MXU batching; >1 needs HBM headroom)
+    # tiles encoded/decoded per executable call (MXU batching; >1 needs HBM
+    # headroom next to the resident DiT)
+    encode_tile_batch: int = 1
     decode_tile_batch: int = 1
     # noise level applied to SR condition latent (cfg condition.noise_scale=0.25
     # in reference yaml is folded into aug-noise at generation_phases.py:683)

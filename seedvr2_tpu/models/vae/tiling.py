@@ -112,6 +112,26 @@ def _tile_starts(total: int, tile: int, stride: int) -> list:
     return starts
 
 
+def _axis_grid(total: int, tile_max: int, overlap: int) -> Tuple[int, list]:
+    """Equalized tile grid for one axis (latent coordinates).
+
+    The naive fixed-size grid decodes up to ~1.9x the image area at common
+    shapes (e.g. 512-tiles on 1088x1920): the shift-last-start tile overlaps
+    its neighbour by almost a full tile. Keeping the *count* the naive grid
+    needs but shrinking every tile to the minimum size that still covers
+    with >= ``overlap``, redundant conv work drops to ~1.3x with identical
+    seam quality (the cosine blend only needs ``overlap`` pixels). Returns
+    (tile, starts); tiles remain uniform so one compiled shape serves all.
+    """
+    if total <= tile_max:
+        return total, [0]
+    overlap = min(overlap, tile_max - 1)
+    n = math.ceil((total - overlap) / (tile_max - overlap))
+    tile = math.ceil((total + (n - 1) * overlap) / n)
+    starts = [round(i * (total - tile) / (n - 1)) for i in range(n)]
+    return tile, starts
+
+
 def _edge_weights(n: int, ov: int, at_start_edge: bool, at_end_edge: bool) -> np.ndarray:
     w = np.ones(n, dtype=np.float32)
     ov = max(0, min(ov, n - 1))
@@ -140,9 +160,9 @@ def tiled_encode(
     one compiled shape and sharding applies to every group."""
     B, T, H, W, _ = x.shape
     sf = cfg.spatial_downsample_factor
-    lt_h, lt_w = max(1, tile_size[0] // sf), max(1, tile_size[1] // sf)
-    lo_h = max(0, min(tile_overlap[0] // sf, lt_h - 1))
-    lo_w = max(0, min(tile_overlap[1] // sf, lt_w - 1))
+    ltmax_h, ltmax_w = max(1, tile_size[0] // sf), max(1, tile_size[1] // sf)
+    lo_h = max(0, min(tile_overlap[0] // sf, ltmax_h - 1))
+    lo_w = max(0, min(tile_overlap[1] // sf, ltmax_w - 1))
     H_lat, W_lat = math.ceil(H / sf), math.ceil(W / sf)
     if H <= tile_size[0] and W <= tile_size[1]:
         return slicing_encode(params, cfg, x)
@@ -155,12 +175,10 @@ def tiled_encode(
         ]
         return jnp.concatenate(outs, axis=0)
 
-    # Uniform full-size tile grid (shift-last-start; see _tile_starts).
-    # H/W are /16-padded upstream (DivisiblePad) so pixel-space starts are
-    # latent-aligned after clamping to multiples of sf.
-    sh, sw = max(1, lt_h - lo_h), max(1, lt_w - lo_w)
-    rows = _tile_starts(H_lat, lt_h, sh)
-    cols = _tile_starts(W_lat, lt_w, sw)
+    # Equalized uniform tile grid (see _axis_grid). H/W are /16-padded
+    # upstream (DivisiblePad) so pixel-space starts are latent-aligned.
+    lt_h, rows = _axis_grid(H_lat, ltmax_h, lo_h)
+    lt_w, cols = _axis_grid(W_lat, ltmax_w, lo_w)
     tiles = [(y, x0) for y in rows for x0 in cols]
     weights = []
     for (y, x0) in tiles:
@@ -212,13 +230,12 @@ def tiled_decode(
     ``tile_batch`` so sharding applies to every group."""
     B, T, H, W, _ = z.shape
     sf = cfg.spatial_downsample_factor
-    lt_h, lt_w = max(1, tile_size[0] // sf), max(1, tile_size[1] // sf)
-    if H <= lt_h and W <= lt_w:
+    ltmax_h, ltmax_w = max(1, tile_size[0] // sf), max(1, tile_size[1] // sf)
+    if H <= ltmax_h and W <= ltmax_w:
         return slicing_decode(params, cfg, z)
     ov_h, ov_w = tile_overlap
-    lo_h = max(0, min(ov_h // sf, lt_h - 1))
-    lo_w = max(0, min(ov_w // sf, lt_w - 1))
-    sh, sw = max(1, lt_h - lo_h), max(1, lt_w - lo_w)
+    lo_h = max(0, min(ov_h // sf, ltmax_h - 1))
+    lo_w = max(0, min(ov_w // sf, ltmax_w - 1))
 
     if B != 1:
         # rare path: fall back to per-tile loop semantics via vmap-free calls
@@ -229,9 +246,9 @@ def tiled_decode(
         ]
         return jnp.concatenate(outs, axis=0)
 
-    # Uniform full-size tile grid (shift-last-start; see _tile_starts).
-    rows = _tile_starts(H, lt_h, sh)
-    cols = _tile_starts(W, lt_w, sw)
+    # Equalized uniform tile grid in latent space (see _axis_grid).
+    lt_h, rows = _axis_grid(H, ltmax_h, lo_h)
+    lt_w, cols = _axis_grid(W, ltmax_w, lo_w)
 
     tiles = [(y, x) for y in rows for x in cols]
     th, tw = lt_h * sf, lt_w * sf
@@ -283,12 +300,14 @@ def vae_encode(
     tiled: bool = False,
     tile_size: Tuple[int, int] = (512, 512),
     tile_overlap: Tuple[int, int] = (64, 64),
+    tile_batch: int = 1,
+    tile_sharding=None,
 ) -> jnp.ndarray:
     """Returns scaled latent [B, T', H/8, W/8, C]: (mode(z) - shift) * scale
     (reference: src/core/infer.py:186-189; deterministic posterior mode per
     attn_video_vae.py:1688)."""
     moments = (
-        tiled_encode(params, cfg, video, tile_size, tile_overlap)
+        tiled_encode(params, cfg, video, tile_size, tile_overlap, tile_batch, tile_sharding)
         if tiled
         else slicing_encode(params, cfg, video)
     )

@@ -148,6 +148,111 @@ def conv3d_3x3x3(
     return out
 
 
+def _kernel_im2col(x_ref, w_ref, b_ref, o_ref, col_ref, *, th: int, tw: int, cin: int):
+    """Tap-folded im2col: gather the 27 taps into one [M, 27*Cin] VMEM
+    matrix, then a single MXU matmul with contraction depth 27*Cin instead
+    of 27 accumulating K=Cin matmuls (docs/PERFORMANCE.md: raising effective
+    K past the MXU's 128-deep pipeline is the identified headroom).
+
+    x_ref: [3, th+2, tw+8, Cin] halo'd slab; w_ref: [27*Cin, co];
+    col_ref: [th*tw, 27*Cin] scratch; o_ref: [1, th, tw, co].
+    """
+    for kt in range(3):
+        for kh in range(3):
+            for kw in range(3):
+                tap = (kt * 3 + kh) * 3 + kw
+                col_ref[:, tap * cin : (tap + 1) * cin] = x_ref[
+                    kt, kh : kh + th, kw : kw + tw, :
+                ].reshape(th * tw, cin)
+    out = jax.lax.dot_general(
+        col_ref[...],
+        w_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b_ref[0].astype(jnp.float32)
+    o_ref[...] = out.reshape(1, th, tw, o_ref.shape[-1]).astype(o_ref.dtype)
+
+
+def _tile_for_im2col(cin: int) -> Tuple[int, int, int]:
+    """(th, tw, co_tile): keep the [M, 27*Cin] col scratch ~<=7MB bf16."""
+    if cin <= 128:
+        return 8, 128, 128
+    if cin <= 256:
+        return 4, 128, 128
+    return 2, 128, 128
+
+
+def conv3d_3x3x3_im2col(
+    x_ext: jnp.ndarray,  # [B, T+2, H, W, C_in] (temporally pre-extended)
+    w: jnp.ndarray,  # [3, 3, 3, C_in, C_out]
+    b: Optional[jnp.ndarray],  # [C_out]
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Returns [B, T, H, W, C_out] (SAME spatial padding, valid temporal)."""
+    B, Text, H, W, Cin = x_ext.shape
+    T = Text - 2
+    Cout = w.shape[-1]
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    th, tw, co_tile = _tile_for_im2col(Cin)
+    th = min(th, _round_up(H, 8))
+    tw = min(tw, _round_up(W, 128))
+    Hp = _round_up(H, th)
+    Wp = _round_up(W, tw)
+    n_co = (Cout + co_tile - 1) // co_tile
+    Cop = n_co * co_tile
+
+    xp = jnp.pad(x_ext, ((0, 0), (0, 0), (1, Hp - H + 1), (1, Wp - W + 7), (0, 0)))
+    wp = jnp.pad(w, ((0, 0), (0, 0), (0, 0), (0, 0), (0, Cop - Cout)))
+    wp = wp.reshape(27 * Cin, Cop)
+    bp = jnp.pad(
+        (b if b is not None else jnp.zeros((Cout,), x_ext.dtype)), ((0, Cop - Cout),)
+    ).reshape(1, Cop)
+
+    kern = functools.partial(_kernel_im2col, th=th, tw=tw, cin=Cin)
+    grid = (T, Hp // th, Wp // tw, n_co)
+
+    x_spec = pl.BlockSpec(
+        (Element(3), Element(th + 2), Element(tw + 8), Element(Cin)),
+        lambda t, h, w_, c: (t, h * th, w_ * tw, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+    def run_one(xb):
+        return pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=[
+                x_spec,
+                pl.BlockSpec(
+                    (27 * Cin, co_tile),
+                    lambda t, h, w_, c: (0, c),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec((1, co_tile), lambda t, h, w_, c: (0, c), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, th, tw, co_tile), lambda t, h, w_, c: (t, h, w_, c), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((T, Hp, Wp, Cop), x_ext.dtype),
+            scratch_shapes=[pltpu.VMEM((th * tw, 27 * Cin), x_ext.dtype)],
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * 27 * T * Hp * Wp * Cin * Cop,
+                bytes_accessed=2 * T * Hp * Wp * (Cin + Cop) * 3,
+                transcendentals=0,
+            ),
+        )(xb, wp, bp)
+
+    outs = [run_one(xp[i]) for i in range(B)]
+    out = jnp.stack(outs)[:, :, :H, :W, :Cout]
+    return out
+
+
 def enabled_for(w_shape: Tuple[int, ...], stride: Tuple[int, int, int]) -> bool:
     """True when this kernel handles the conv (stride-1 3x3x3, lane-aligned
     channels)."""

@@ -7,10 +7,17 @@ chips live in ONE process/mesh: the video is split into per-chip frame
 segments (with overlap on interior seams), segments are stacked on a
 leading axis sharded over "data", and every phase executes as a single
 SPMD program. Seam blending is identical math (ops/blending.py).
+
+Feature parity with the single-chip phases: prepend_frames, RGBA alpha
+re-attachment, input/latent noise, color correction — color runs inside
+the sharded per-batch program (content vs resized-input reference,
+reference: generation_phases.py:1299-1319) so only final frames cross the
+host link.
 """
 
 from __future__ import annotations
 
+from functools import partial
 from typing import List, Optional
 
 import jax
@@ -23,13 +30,14 @@ from ..ops import color as color_ops
 from ..ops.blending import blend_overlapping_frames
 from ..ops.resize import pipeline_transform, true_target_dims
 from ..utils.debug import Debug
+from ..utils.seed import batch_key
 from . import batching
 from .runner import Runner
 
 
 def generate_multichip(
     runner: Runner,
-    images: np.ndarray,  # [T, H, W, 3]
+    images: np.ndarray,  # [T, H, W, 3|4] float in [0, 1]
     mesh: jax.sharding.Mesh,
     seam_overlap: int = 4,
     debug: Optional[Debug] = None,
@@ -43,15 +51,28 @@ def generate_multichip(
     cfg = runner.cfg
     debug = debug or Debug()
     n = mesh.shape["data"]
-    total = len(images)
-    if n == 1 or total < 2 * n:
+    total0 = len(images)
+    if n == 1 or total0 < 2 * n:
         from . import phases
 
+        if n > 1:
+            debug.log(
+                f"multichip: {total0} frames < 2 per chip on data={n}; "
+                "running the single-chip pipeline",
+                category="generation", force=True,
+            )
         return phases.generate(runner, images, cfg, debug)
+
+    if cfg.prepend_frames > 0:
+        images = batching.pad_temporal_reversed(images, cfg.prepend_frames, prepend=True)
+    total = len(images)
+    is_rgba = images.shape[-1] == 4
+    alpha_in = images[..., 3:] if is_rgba else None
+    rgb_in = images[..., :3]
 
     shard = NamedSharding(mesh, P("data"))
     ranges = batching.split_frame_ranges(total, n, seam_overlap)
-    seg_frames = [images[s:e] for s, e in ranges]
+    seg_frames = [rgb_in[s:e] for s, e in ranges]
     seg_lens = [len(f) for f in seg_frames]
     # Common segment length (4n+1) so all chips share one executable.
     target_len = batching.frames_to_4n1(max(seg_lens))
@@ -63,34 +84,46 @@ def generate_multichip(
     specs = batching.compute_batches(target_len, cfg.batch_size, 0, uniform_batch_size=True)
     true_h, true_w = true_target_dims(images.shape[1], images.shape[2], cfg.resolution, cfg.max_resolution)
 
+    key_noise = batch_key(cfg.seed, "input_noise")
     out_segs = np.zeros((n, target_len, true_h, true_w, 3), np.float32)
     write_idx = 0
     for spec in specs:
         batch = np.stack([batching.prepare_batch(segs[i], spec) for i in range(n)])
         # [n, T', H, W, 3] -> transform on device, sharded over data.
-        tv = jax.device_put(jnp.asarray(batch), shard)
-        tv = jax.vmap(lambda v: pipeline_transform(v, cfg.resolution, cfg.max_resolution))(tv)
+        tv = jax.device_put(jnp.asarray(batch.astype(np.float16)), shard)
+        tv = jax.vmap(
+            lambda v: pipeline_transform(v.astype(jnp.float32), cfg.resolution, cfg.max_resolution)
+        )(tv)
+        if cfg.input_noise_scale > 0:
+            # reference: generation_phases.py:415-431
+            key_noise, sub = jax.random.split(key_noise)
+            noise = jax.random.normal(sub, tv.shape, tv.dtype) * 0.05
+            blend = cfg.input_noise_scale * 0.5
+            tv = tv * (1 - blend) + (tv + noise) * blend
         tv = tv.astype(jnp.dtype(cfg.compute_dtype))
 
         latent = runner.vae_encode(tv)  # [n, t, h, w, C]
-        up = runner.upscale(latent, cfg.seed)
+        up = runner.upscale(latent, cfg.seed)  # latent_noise handled inside
         dec = runner.vae_decode(up)  # [n, T', H', W', 3]
-        dec = np.asarray(jax.device_get(dec), np.float32)
 
         t_real = spec.ori_length
-        out_segs[:, write_idx : write_idx + t_real] = dec[:, :t_real, :true_h, :true_w]
+        dec = dec[:, :t_real, :true_h, :true_w]
+        if cfg.color_correction != "none":
+            # On-device sharded color fix against the resized input
+            # (reference runs it per batch in phase 4); one SPMD program,
+            # one host transfer per spec.
+            ref = tv[:, :t_real, :true_h, :true_w].astype(jnp.float32)
+            dec = _color_sharded(cfg.color_correction, dec.astype(jnp.float32), ref)
+        out_segs[:, write_idx : write_idx + t_real] = np.asarray(
+            jax.device_get(dec), np.float32
+        )
         write_idx += t_real
-    assert write_idx >= target_len - (cfg.batch_size - 1)
-
-    # Color correction per segment against its own resized input.
-    if cfg.color_correction != "none":
-        for i in range(n):
-            ref = pipeline_transform(jnp.asarray(segs[i]), cfg.resolution, cfg.max_resolution)
-            ref = np.asarray(ref, np.float32)[:, :true_h, :true_w]
-            content = jnp.asarray(out_segs[i].transpose(0, 3, 1, 2))
-            style = jnp.asarray(ref.transpose(0, 3, 1, 2))
-            fixed = color_ops.apply_color_correction(cfg.color_correction, content, style)
-            out_segs[i] = np.asarray(jax.device_get(fixed)).transpose(0, 2, 3, 1)
+    if write_idx < target_len - (cfg.batch_size - 1):
+        raise RuntimeError(
+            f"multichip batching drift: wrote {write_idx} of {target_len} frames "
+            f"(batch_size={cfg.batch_size}, specs={len(specs)}); this is a bug in "
+            "compute_batches/uniform padding, please report"
+        )
 
     # Assemble segments, blending the seam overlaps
     # (reference: inference_cli.py:1242-1277).
@@ -112,4 +145,32 @@ def generate_multichip(
             else:
                 final[s:e] = seg
             pos = e
-    return np.clip(final / 2.0 + 0.5, 0.0, 1.0)
+    final = np.clip(final / 2.0 + 0.5, 0.0, 1.0)
+
+    if is_rgba:
+        from .alpha import upscale_alpha_batch
+
+        out_alpha = np.zeros((total, true_h, true_w, 1), np.float32)
+        for s0 in range(0, total, cfg.batch_size):
+            e0 = min(s0 + cfg.batch_size, total)
+            out_alpha[s0:e0, :, :, 0] = upscale_alpha_batch(
+                alpha_in[s0:e0], final[s0:e0]
+            )
+        final = np.concatenate([final, out_alpha], axis=-1)
+
+    if cfg.prepend_frames > 0:
+        final = final[cfg.prepend_frames :]
+    return final
+
+
+@partial(jax.jit, static_argnames=("method",))
+def _color_sharded(method: str, content_thwc: jnp.ndarray, style_thwc: jnp.ndarray):
+    """[n, T, H, W, 3] pairs -> corrected, vmapped over the segment axis
+    (stays sharded over "data" under GSPMD)."""
+
+    def one(c, s):
+        return color_ops.apply_color_correction(
+            method, c.transpose(0, 3, 1, 2), s.transpose(0, 3, 1, 2)
+        ).transpose(0, 2, 3, 1)
+
+    return jax.vmap(one)(content_thwc, style_thwc)

@@ -82,7 +82,8 @@ class Runner:
         return self._with_oom_fallback(
             "encode",
             lambda tiled, ts, to: vae_tiling.vae_encode(
-                self.vae_params, c.vae, video, tiled=tiled, tile_size=ts, tile_overlap=to
+                self.vae_params, c.vae, video, tiled=tiled, tile_size=ts,
+                tile_overlap=to, tile_batch=c.encode_tile_batch,
             ),
             c.encode_tiled,
             c.encode_tile_size,

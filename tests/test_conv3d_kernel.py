@@ -5,7 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from seedvr2_tpu.ops.conv3d_kernel import conv3d_3x3x3, enabled_for
+from seedvr2_tpu.ops.conv3d_kernel import conv3d_3x3x3, conv3d_3x3x3_im2col, enabled_for
 
 
 def _ref_conv(x_ext, w, b):
@@ -26,6 +26,19 @@ def test_matches_xla(shape):
     b = jax.random.normal(k3, (Cout,), jnp.float32) * 0.1
     ref = _ref_conv(x, w, b)
     out = conv3d_3x3x3(x, w, b, interpret=True)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("shape", [(1, 2, 16, 256, 128, 128), (1, 1, 6, 130, 256, 128)])
+def test_im2col_matches_xla(shape):
+    B, T, H, W, Cin, Cout = shape
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(1), 3)
+    x = jax.random.normal(k1, (B, T + 2, H, W, Cin), jnp.float32) * 0.5
+    w = jax.random.normal(k2, (3, 3, 3, Cin, Cout), jnp.float32) * 0.05
+    b = jax.random.normal(k3, (Cout,), jnp.float32) * 0.1
+    ref = _ref_conv(x, w, b)
+    out = conv3d_3x3x3_im2col(x, w, b, interpret=True)
     assert out.shape == ref.shape
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=1e-3)
 
