@@ -77,11 +77,18 @@ def main():
         "dec_pallas_tb1": ("pallas", dec(1)),
         "dec_pallas_tb4": ("pallas", dec(4)),
         "dec_pallas_tb8": ("pallas", dec(8)),
-        "dec_pallas_tb1_1024": ("pallas", dec(1, (1024, 1024), (128, 128))),
+        "dec_xla_768": ("xla", dec(1, (768, 768), (64, 64))),
+        "dec_pallas_768": ("pallas", dec(1, (768, 768), (64, 64))),
+        "dec_xla_1024": ("xla", dec(1, (1024, 1024), (128, 128))),
+        "dec_pallas_1024": ("pallas", dec(1, (1024, 1024), (128, 128))),
+        "dec_xla_tall": ("xla", dec(1, (1088, 1024), (0, 128))),
+        "dec_pallas_tall": ("pallas", dec(1, (1088, 1024), (0, 128))),
         "dec_xla_untiled": ("xla", lambda: tiling.vae_decode(params, cfg, latent)),
         "dec_pallas_untiled": ("pallas", lambda: tiling.vae_decode(params, cfg, latent)),
         "enc_xla_tb1": ("xla", enc(1)),
         "enc_pallas_tb1": ("pallas", enc(1)),
+        "enc_xla_768": ("xla", enc(1, (768, 768), (64, 64))),
+        "enc_xla_tall": ("xla", enc(1, (1088, 1024), (0, 128))),
         "enc_pallas_tb4": ("pallas", enc(4)),
         "enc_pallas_untiled": ("pallas", lambda: tiling.vae_encode(params, cfg, video)),
     }

@@ -38,6 +38,8 @@ _BLOCK = {
     Q5_0: (32, 22),
     Q5_1: (32, 24),
     Q8_0: (32, 34),
+    Q2_K: (256, 84),
+    Q3_K: (256, 110),
     Q4_K: (256, 144),
     Q5_K: (256, 176),
     Q6_K: (256, 210),
@@ -139,7 +141,8 @@ def dequantize(raw: np.ndarray, ggml_type: int, n_elems: int) -> np.ndarray:
     blocks = raw.reshape(-1, bbytes)
     fn = {
         Q4_0: _dq_q4_0, Q4_1: _dq_q4_1, Q5_0: _dq_q5_0, Q5_1: _dq_q5_1,
-        Q8_0: _dq_q8_0, Q4_K: _dq_q4_k, Q5_K: _dq_q5_k, Q6_K: _dq_q6_k,
+        Q8_0: _dq_q8_0, Q2_K: _dq_q2_k, Q3_K: _dq_q3_k,
+        Q4_K: _dq_q4_k, Q5_K: _dq_q5_k, Q6_K: _dq_q6_k,
     }[ggml_type]
     return fn(blocks).reshape(-1)[:n_elems]
 
@@ -204,6 +207,56 @@ def _kq_scales(sc: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
         scales[:, i] = ((sc[:, i + 4] & 0x0F) | ((sc[:, i - 4] >> 6) << 4)).astype(np.float32)
         mins[:, i] = ((sc[:, i + 4] >> 4) | ((sc[:, i] >> 6) << 4)).astype(np.float32)
     return scales, mins
+
+
+def _dq_q2_k(b: np.ndarray) -> np.ndarray:
+    """Q2_K superblock: scales[16] (4-bit scale | 4-bit min per 16 elems),
+    qs[64] (2-bit), d f16, dmin f16 (ggml dequantize_row_q2_K)."""
+    sc = b[:, 0:16]
+    qs = b[:, 16:80]
+    d = _f16(b[:, 80:82])
+    dmin = _f16(b[:, 82:84])
+    out = np.empty((b.shape[0], 256), np.float32)
+    for n in (0, 1):  # two 128-element halves
+        q = qs[:, 32 * n : 32 * n + 32]
+        for j in range(4):  # 2-bit plane
+            for h in (0, 1):  # two 16-element groups per plane
+                s = sc[:, 8 * n + 2 * j + h]
+                dl = (d * (s & 0x0F))[:, None]
+                ml = (dmin * (s >> 4))[:, None]
+                qv = ((q[:, 16 * h : 16 * h + 16] >> (2 * j)) & 3).astype(np.float32)
+                o = 128 * n + 32 * j + 16 * h
+                out[:, o : o + 16] = dl * qv - ml
+    return out
+
+
+def _dq_q3_k(b: np.ndarray) -> np.ndarray:
+    """Q3_K superblock: hmask[32] (3rd bit, inverted), qs[64] (2-bit),
+    scales[12] (packed 6-bit x16), d f16 (ggml dequantize_row_q3_K)."""
+    hmask = b[:, 0:32]
+    qs = b[:, 32:96]
+    scb = b[:, 96:108].astype(np.uint8)
+    d = _f16(b[:, 108:110])
+    # 12 bytes -> 16 6-bit scales (the kmask1/kmask2 shuffle, byte-wise)
+    s16 = np.empty((b.shape[0], 16), np.float32)
+    for k in range(4):
+        s16[:, k] = (scb[:, k] & 0x0F) | ((scb[:, 8 + k] & 3) << 4)
+        s16[:, 4 + k] = (scb[:, 4 + k] & 0x0F) | (((scb[:, 8 + k] >> 2) & 3) << 4)
+        s16[:, 8 + k] = (scb[:, k] >> 4) | (((scb[:, 8 + k] >> 4) & 3) << 4)
+        s16[:, 12 + k] = (scb[:, 4 + k] >> 4) | (((scb[:, 8 + k] >> 6) & 3) << 4)
+    s16 -= 32.0
+    out = np.empty((b.shape[0], 256), np.float32)
+    for n in (0, 1):
+        q = qs[:, 32 * n : 32 * n + 32]
+        for j in range(4):
+            m = np.uint8(1 << (4 * n + j))
+            for h in (0, 1):
+                dl = (d * s16[:, 8 * n + 2 * j + h])[:, None]
+                qv = ((q[:, 16 * h : 16 * h + 16] >> (2 * j)) & 3).astype(np.float32)
+                high = ((hmask[:, 16 * h : 16 * h + 16] & m) == 0).astype(np.float32) * 4.0
+                o = 128 * n + 32 * j + 16 * h
+                out[:, o : o + 16] = dl * (qv - high)
+    return out
 
 
 def _dq_q4_k(b: np.ndarray) -> np.ndarray:

@@ -58,6 +58,37 @@ def load_safetensors(path: str) -> Dict[str, np.ndarray]:
     return out
 
 
+def load_pth(path: str) -> Dict[str, np.ndarray]:
+    """Load a torch .pth checkpoint to host numpy (reference:
+    model_loader.py:141-153 — mmap + weights_only=True for safety)."""
+    import torch
+
+    state = torch.load(path, map_location="cpu", weights_only=True, mmap=True)
+    if isinstance(state, dict) and "state_dict" in state and isinstance(state["state_dict"], dict):
+        state = state["state_dict"]
+    out = {}
+    for k, v in state.items():
+        if not hasattr(v, "numpy"):
+            continue
+        if v.dtype in (torch.bfloat16, torch.float16, torch.float32, torch.float64):
+            out[k] = v.to(torch.float32).numpy()
+        else:
+            out[k] = v.numpy()
+    return out
+
+
+def load_state_dict_any(path: str, dtype=np.float32) -> Dict[str, np.ndarray]:
+    """Format dispatch: .safetensors / .gguf / .pth|.pt (reference:
+    load_quantized_state_dict, model_loader.py:84-153)."""
+    if path.endswith(".gguf"):
+        from .gguf import load_gguf_state_dict
+
+        return load_gguf_state_dict(path, dtype)
+    if path.endswith((".pth", ".pt")):
+        return load_pth(path)
+    return load_safetensors(path)
+
+
 # --------------------------------------------------------------------------- #
 # DiT key mapping
 # --------------------------------------------------------------------------- #
@@ -283,18 +314,13 @@ def export_state_dict(
 
 
 def load_dit_params(path: str, cfg: DiTConfig, template, dtype=np.float32):
-    if path.endswith(".gguf"):
-        from .gguf import load_gguf_state_dict
-
-        state = load_gguf_state_dict(path, dtype)
-    else:
-        state = load_safetensors(path)
+    state = load_state_dict_any(path, dtype)
     flat = convert_state_dict(state, dit_key_map(cfg), dtype)
     return unflatten_into(template, flat)
 
 
 def load_vae_params(path: str, cfg: VAEConfig, template, dtype=np.float32):
-    state = load_safetensors(path)
+    state = load_state_dict_any(path, dtype)
     flat = convert_state_dict(state, vae_key_map(cfg), dtype)
     return unflatten_into(template, flat)
 

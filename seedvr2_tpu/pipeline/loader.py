@@ -75,6 +75,17 @@ def load_runner(
         vae_path, lambda p: weights.load_vae_params(p, cfg.vae, t_vae, np.float32)
     )
 
+    from .phases import _hbm_bytes
+
+    if quantize is None and cfg.dit.variant == "7b" and _hbm_bytes() < 20 << 30:
+        # 7B bf16 weights (~14.5GB) don't fit next to activations on a 16GB
+        # chip; int8-at-rest runs *faster* than bf16 here (the int8->bf16
+        # widening fuses into the MXU load, docs/PERFORMANCE.md) — the TPU
+        # analog of the reference's fp8/GGUF default tier for 7B
+        # (reference: model_registry.py:56 defaults to fp8).
+        quantize = "int8"
+        debug.log("7B on <20GB HBM: defaulting to int8 weight storage",
+                  category="dit", force=True)
     if quantize == "int8" or dit_model.endswith(".gguf"):
         from ..ops.quant import quantize_dit_params
 

@@ -46,6 +46,7 @@ class Runner:
         self.debug = debug or Debug()
         self.mesh = mesh
         self._dit_step_cache: Dict[Tuple, callable] = {}
+        self._finalize_cache: Dict[Tuple, callable] = {}
 
     # ------------------------------ condition ------------------------------ #
 
@@ -215,9 +216,9 @@ class Runner:
         only 2 bytes/px ever cross the host link (the dev-tunnel equivalent
         of minimizing PCIe traffic). Returns [ori, true_h, true_w, 3] u16."""
         method = self.cfg.color_correction
-        key = ("finalize", method, decoded.shape, None if ref_half is None else ref_half.shape,
+        key = (method, decoded.shape, None if ref_half is None else ref_half.shape,
                ori, true_h, true_w)
-        fn = self._dit_step_cache.get(key)
+        fn = self._finalize_cache.get(key)
         if fn is None:
             cfg = self.cfg
             from ..ops import color as color_ops
@@ -237,7 +238,7 @@ class Runner:
                 return (out01 * 65535.0 + 0.5).astype(jnp.uint16)
 
             fn = jax.jit(_fn)
-            self._dit_step_cache[key] = fn
+            self._finalize_cache[key] = fn
         return fn(decoded, ref_half)
 
     def upscale(self, latent: jnp.ndarray, seed: int) -> jnp.ndarray:
@@ -264,6 +265,4 @@ class Runner:
         if self._dit_host is None and self.dit_params is not None:
             self._dit_host = jax.device_get(self.dit_params)
         self.dit_params = None
-        self._dit_step_cache = {
-            k: v for k, v in self._dit_step_cache.items() if k[0] == "finalize"
-        }
+        self._dit_step_cache.clear()

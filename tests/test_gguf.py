@@ -72,11 +72,77 @@ def _scalar_q6_k(block):
     return out
 
 
+def _scalar_q2_k(block):
+    """Direct transcription of ggml dequantize_row_q2_K."""
+    sc = block[0:16].astype(int)
+    qs = block[16:80].astype(int)
+    d = np.frombuffer(block[80:82].tobytes(), np.float16)[0].astype(np.float32)
+    dmin = np.frombuffer(block[82:84].tobytes(), np.float16)[0].astype(np.float32)
+    out = np.zeros(256, np.float32)
+    y = 0
+    is_ = 0
+    qoff = 0
+    for n in range(0, 256, 128):
+        shift = 0
+        for j in range(4):
+            for half in range(2):
+                s = sc[is_]
+                is_ += 1
+                dl = d * (s & 0xF)
+                ml = dmin * (s >> 4)
+                for l in range(16):
+                    out[y] = dl * ((qs[qoff + 16 * half + l] >> shift) & 3) - ml
+                    y += 1
+            shift += 2
+        qoff += 32
+    return out
+
+
+def _scalar_q3_k(block):
+    """Direct transcription of ggml dequantize_row_q3_K (incl. the
+    kmask1/kmask2 aux shuffle done with explicit uint32 ops)."""
+    hm = block[0:32].astype(int)
+    qs = block[32:96].astype(int)
+    aux = np.frombuffer(block[96:108].tobytes(), np.uint32).copy()
+    kmask1, kmask2 = np.uint32(0x03030303), np.uint32(0x0F0F0F0F)
+    tmp = aux[2]
+    a = np.zeros(4, np.uint32)
+    a[2] = ((aux[0] >> np.uint32(4)) & kmask2) | (((tmp >> np.uint32(4)) & kmask1) << np.uint32(4))
+    a[3] = ((aux[1] >> np.uint32(4)) & kmask2) | (((tmp >> np.uint32(6)) & kmask1) << np.uint32(4))
+    a[0] = (aux[0] & kmask2) | (((tmp >> np.uint32(0)) & kmask1) << np.uint32(4))
+    a[1] = (aux[1] & kmask2) | (((tmp >> np.uint32(2)) & kmask1) << np.uint32(4))
+    scales = a.view(np.int8).astype(np.float32)
+    d = np.frombuffer(block[108:110].tobytes(), np.float16)[0].astype(np.float32)
+    out = np.zeros(256, np.float32)
+    y = 0
+    is_ = 0
+    m = 1
+    qoff = 0
+    for n in range(0, 256, 128):
+        shift = 0
+        for j in range(4):
+            for half in range(2):
+                dl = d * (scales[is_] - 32)
+                is_ += 1
+                for l in range(16):
+                    q = (qs[qoff + 16 * half + l] >> shift) & 3
+                    if not (hm[16 * half + l] & m):
+                        q -= 4
+                    out[y] = dl * q
+                    y += 1
+            shift += 2
+            m <<= 1
+        qoff += 32
+    return out
+
+
 @pytest.mark.parametrize(
     "gtype,scalar,belems,bbytes",
     [
         (G.Q8_0, _scalar_q8_0, 32, 34),
         (G.Q4_0, _scalar_q4_0, 32, 18),
+        (G.Q2_K, _scalar_q2_k, 256, 84),
+        (G.Q3_K, _scalar_q3_k, 256, 110),
         (G.Q4_K, _scalar_q4_k, 256, 144),
         (G.Q6_K, _scalar_q6_k, 256, 210),
     ],
@@ -90,6 +156,11 @@ def test_dequant_matches_scalar(gtype, scalar, belems, bbytes):
         blocks[i, :2] = np.frombuffer(np.float16(0.25 * (i + 1)).tobytes(), np.uint8)
         if gtype in (G.Q4_K,):
             blocks[i, 2:4] = np.frombuffer(np.float16(0.1).tobytes(), np.uint8)
+        if gtype == G.Q2_K:
+            blocks[i, 80:82] = np.frombuffer(np.float16(0.25).tobytes(), np.uint8)
+            blocks[i, 82:84] = np.frombuffer(np.float16(0.1).tobytes(), np.uint8)
+        if gtype == G.Q3_K:
+            blocks[i, 108:110] = np.frombuffer(np.float16(0.5).tobytes(), np.uint8)
         if gtype == G.Q6_K:
             blocks[i, 208:210] = np.frombuffer(np.float16(0.5).tobytes(), np.uint8)
     out = G.dequantize(blocks.reshape(-1), gtype, nb * belems)

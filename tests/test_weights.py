@@ -70,3 +70,34 @@ def test_key_map_covers_all_params():
         assert mapped == ours, (
             f"unmapped: {sorted(ours - mapped)[:5]} extra: {sorted(mapped - ours)[:5]}"
         )
+
+
+def test_pth_checkpoint_loading(tmp_path):
+    """.pth checkpoints load through the same key map (reference:
+    model_loader.py:141-153 mmap + weights_only torch.load)."""
+    import torch
+
+    cfg = dit_tiny()
+    params = init_dit(cfg, jax.random.PRNGKey(2))
+    key_map = W.dit_key_map(cfg)
+    state = W.export_state_dict(params, key_map)
+    path = str(tmp_path / "tiny.pth")
+    torch.save({k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in state.items()}, path)
+
+    template = jax.eval_shape(lambda k: init_dit(cfg, k), jax.random.PRNGKey(0))
+    rebuilt = W.load_dit_params(path, cfg, template)
+    f0, f1 = W.flatten_tree(params), W.flatten_tree(rebuilt)
+    assert set(f0) == set(f1)
+    for k in f0:
+        np.testing.assert_allclose(np.asarray(f0[k]), np.asarray(f1[k]), err_msg=k)
+
+
+def test_pth_nested_state_dict(tmp_path):
+    """Checkpoints wrapped as {'state_dict': ...} unwrap automatically."""
+    import torch
+
+    path = str(tmp_path / "wrapped.pth")
+    torch.save({"state_dict": {"a.weight": torch.ones(3)}}, path)
+    out = W.load_pth(path)
+    assert list(out) == ["a.weight"]
+    np.testing.assert_array_equal(out["a.weight"], np.ones(3, np.float32))
