@@ -103,14 +103,16 @@ def main() -> int:
         color_correction="wavelet",
         compute_dtype="bfloat16",
         # VAE tiling: the 16GB HBM of one v5e chip is the reference's
-        # "12-16GB -> use tiling" tier (README.md:342); 512/64 requested
-        # tiles run on the equalized grid (models/vae/tiling.py:_axis_grid).
+        # "12-16GB -> use tiling" tier (README.md:342); reference-default
+        # 1024/128 tiles on the equalized grid (models/vae/tiling.py) were
+        # the fastest feasible config measured with the DiT resident
+        # (docs/PERFORMANCE.md round-2 table).
         encode_tiled=True,
-        encode_tile_size=(512, 512),
-        encode_tile_overlap=(64, 64),
+        encode_tile_size=(1024, 1024),
+        encode_tile_overlap=(128, 128),
         decode_tiled=True,
-        decode_tile_size=(512, 512),
-        decode_tile_overlap=(64, 64),
+        decode_tile_size=(1024, 1024),
+        decode_tile_overlap=(128, 128),
     )
     dtype = jnp.bfloat16
     dit_params = init_dit(cfg.dit, jax.random.PRNGKey(0), dtype=dtype)
@@ -153,7 +155,13 @@ def main() -> int:
             from seedvr2_tpu.ops.quant import quantize_dit_params
 
             cfg7 = cfg.replace(dit=dit_7b())
-            p7 = quantize_dit_params(init_dit(cfg7.dit, jax.random.PRNGKey(2), dtype=dtype))
+            # init on host: 7B bf16 (14.5GB) must never materialize in HBM;
+            # quantize_dit_params streams leaves to device as int8+scales
+            with jax.default_device(jax.local_devices(backend="cpu")[0]):
+                p7_host = init_dit(cfg7.dit, jax.random.PRNGKey(2), dtype=dtype)
+            p7 = quantize_dit_params(p7_host)
+            p7 = jax.tree.map(jnp.asarray, p7)
+            del p7_host
             r7 = Runner(cfg7, p7, vae_params, text, debug=Debug(False))
             latent = jnp.asarray(
                 rng.randn(1, t_lat, H_out // 8, W_out // 8, 16).astype(np.float32) * 0.5, dtype

@@ -50,14 +50,17 @@ def parse_arguments(argv: Optional[List[str]] = None) -> argparse.Namespace:
     )
     p.add_argument("--input_noise_scale", type=float, default=0.0)
     p.add_argument("--latent_noise_scale", type=float, default=0.0)
+    # Tile flags accept one int (square, reference-compatible:
+    # inference_cli.py:1433-1441, defaults 1024/128) or two ints (h w).
     p.add_argument("--vae_encode_tiled", action="store_true")
-    p.add_argument("--vae_encode_tile_size", type=int, nargs=2, default=[512, 512])
-    p.add_argument("--vae_encode_tile_overlap", type=int, nargs=2, default=[64, 64])
+    p.add_argument("--vae_encode_tile_size", type=int, nargs="+", default=[1024])
+    p.add_argument("--vae_encode_tile_overlap", type=int, nargs="+", default=[128])
     p.add_argument("--vae_decode_tiled", action="store_true")
-    p.add_argument("--vae_decode_tile_size", type=int, nargs=2, default=[512, 512])
-    p.add_argument("--vae_decode_tile_overlap", type=int, nargs=2, default=[64, 64])
-    p.add_argument("--vae_conv_backend", type=str, default="xla", choices=["xla", "pallas"],
-                   help="Pallas 3x3x3 conv kernel for VAE convs (+13%% over XLA)")
+    p.add_argument("--vae_decode_tile_size", type=int, nargs="+", default=[1024])
+    p.add_argument("--vae_decode_tile_overlap", type=int, nargs="+", default=[128])
+    p.add_argument("--vae_conv_backend", type=str, default="pallas", choices=["xla", "pallas"],
+                   help="Pallas 3x3x3 conv kernel for VAE convs (faster at every "
+                        "measured shape; per-shape XLA fallback on compile failure)")
     p.add_argument("--attention_mode", type=str, default="fused",
                    choices=["fused", "pallas", "xla", "sdpa", "flash_attn_2", "flash_attn_3", "sageattn_2", "sageattn_3"])
     p.add_argument("--debug", action="store_true")
@@ -92,6 +95,11 @@ def parse_arguments(argv: Optional[List[str]] = None) -> argparse.Namespace:
     ]:
         p.add_argument(flag, nargs="?", default=None, help=argparse.SUPPRESS)
     return p.parse_args(argv)
+
+
+def _pair(v):
+    v = list(v)
+    return (v[0], v[0]) if len(v) == 1 else (v[0], v[1])
 
 
 def build_runner(args):
@@ -144,11 +152,11 @@ def build_runner(args):
         latent_noise_scale=args.latent_noise_scale,
         color_correction=args.color_correction,
         encode_tiled=args.vae_encode_tiled,
-        encode_tile_size=tuple(args.vae_encode_tile_size),
-        encode_tile_overlap=tuple(args.vae_encode_tile_overlap),
+        encode_tile_size=_pair(args.vae_encode_tile_size),
+        encode_tile_overlap=_pair(args.vae_encode_tile_overlap),
         decode_tiled=args.vae_decode_tiled,
-        decode_tile_size=tuple(args.vae_decode_tile_size),
-        decode_tile_overlap=tuple(args.vae_decode_tile_overlap),
+        decode_tile_size=_pair(args.vae_decode_tile_size),
+        decode_tile_overlap=_pair(args.vae_decode_tile_overlap),
     )
     runner = load_runner(
         dit_model=dit_name,

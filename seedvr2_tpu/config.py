@@ -216,13 +216,14 @@ class PipelineConfig:
     input_noise_scale: float = 0.0
     latent_noise_scale: float = 0.0
     color_correction: str = "wavelet"  # lab|wavelet|wavelet_adaptive|hsv|adain|none
-    # VAE tiling
+    # VAE tiling (defaults match the reference CLI, inference_cli.py:1433-1441;
+    # tiles run on the equalized minimal-cover grid, models/vae/tiling.py)
     encode_tiled: bool = False
-    encode_tile_size: Tuple[int, int] = (512, 512)
-    encode_tile_overlap: Tuple[int, int] = (64, 64)
+    encode_tile_size: Tuple[int, int] = (1024, 1024)
+    encode_tile_overlap: Tuple[int, int] = (128, 128)
     decode_tiled: bool = False
-    decode_tile_size: Tuple[int, int] = (512, 512)
-    decode_tile_overlap: Tuple[int, int] = (64, 64)
+    decode_tile_size: Tuple[int, int] = (1024, 1024)
+    decode_tile_overlap: Tuple[int, int] = (128, 128)
     # tiles encoded/decoded per executable call (MXU batching; >1 needs HBM
     # headroom next to the resident DiT)
     encode_tile_batch: int = 1

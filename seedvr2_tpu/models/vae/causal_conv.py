@@ -107,8 +107,16 @@ def causal_conv3d(
             if key not in _KERNEL_BLOCKLIST:
                 try:
                     return ck.conv3d_3x3x3(x_ext, w.astype(x.dtype), p.get("b"))
-                except Exception:
+                except Exception as e:
+                    # Per-shape fallback, loudly: a silent blocklist hides
+                    # kernel regressions (round-1 review finding).
+                    import warnings
+
                     _KERNEL_BLOCKLIST.add(key)
+                    warnings.warn(
+                        f"pallas conv3d fell back to XLA for x{tuple(x_ext.shape)} "
+                        f"w{tuple(w.shape)}: {type(e).__name__}: {str(e)[:200]}"
+                    )
 
     y = jax.lax.conv_general_dilated(
         x_ext,

@@ -32,12 +32,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 from jax._src.pallas.core import Element
 
-# Default OFF: the kernel is ~13% faster than XLA's Conv3D at VAE shapes
-# and numerically exact (tests/test_conv3d_kernel.py), but this dev
-# environment's remote-compile helper intermittently rejects large programs
-# embedding many pallas_calls (docs/PERFORMANCE.md). Enable with
-# set_conv_backend("pallas") / --vae_conv_backend pallas.
-_ENABLED = False
+# Default ON: the kernel is faster than XLA's Conv3D at every measured VAE
+# shape (docs/PERFORMANCE.md; 64 vs 51 TFLOP/s at frame scale) and
+# numerically exact (tests/test_conv3d_kernel.py). Per-(shape) compile
+# failures fall back to XLA with a logged warning
+# (models/vae/causal_conv.py). Disable with set_conv_backend("xla").
+_ENABLED = True
 
 
 def set_conv_backend(name: str) -> None:

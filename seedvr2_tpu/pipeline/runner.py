@@ -77,14 +77,32 @@ class Runner:
 
     # ------------------------------- VAE ----------------------------------- #
 
+    def _tile_parallel(self, batch_dim: int):
+        """Tile-parallel VAE across the mesh "data" axis for single-segment
+        inputs: tiles are batched and sharded one-per-chip. This is the
+        short-clip replacement for the reference's (stubbed) temporal
+        context-parallel ring (context_parallel_lib.py:26-67) — see
+        docs/PERFORMANCE.md "Cross-device VAE" for the measured trade-off
+        vs a temporal wavefront pipeline. Long clips use frame-DP instead
+        (pipeline/multichip.py), where batch_dim > 1 already fills the axis."""
+        if self.mesh is None or batch_dim != 1:
+            return 0, None
+        n = self.mesh.shape.get("data", 1)
+        if n <= 1:
+            return 0, None
+        return n, jax.sharding.NamedSharding(self.mesh, jax.sharding.PartitionSpec("data"))
+
     def vae_encode(self, video: jnp.ndarray) -> jnp.ndarray:
         """video: [B, T, H, W, 3] in [-1, 1] -> scaled latent."""
         c = self.cfg
+        tp_n, tp_shard = self._tile_parallel(video.shape[0])
         return self._with_oom_fallback(
             "encode",
             lambda tiled, ts, to: vae_tiling.vae_encode(
                 self.vae_params, c.vae, video, tiled=tiled, tile_size=ts,
-                tile_overlap=to, tile_batch=c.encode_tile_batch,
+                tile_overlap=to,
+                tile_batch=max(c.encode_tile_batch, tp_n) if tiled else c.encode_tile_batch,
+                tile_sharding=tp_shard,
             ),
             c.encode_tiled,
             c.encode_tile_size,
@@ -93,6 +111,7 @@ class Runner:
 
     def vae_decode(self, latent: jnp.ndarray) -> jnp.ndarray:
         c = self.cfg
+        tp_n, tp_shard = self._tile_parallel(latent.shape[0])
         return self._with_oom_fallback(
             "decode",
             lambda tiled, ts, to: vae_tiling.vae_decode(
@@ -102,7 +121,8 @@ class Runner:
                 tiled=tiled,
                 tile_size=ts,
                 tile_overlap=to,
-                tile_batch=c.decode_tile_batch,
+                tile_batch=max(c.decode_tile_batch, tp_n) if tiled else c.decode_tile_batch,
+                tile_sharding=tp_shard,
             ),
             c.decode_tiled,
             c.decode_tile_size,
@@ -121,7 +141,7 @@ class Runner:
                 if "RESOURCE_EXHAUSTED" not in str(e):
                     raise
                 if not tiled:
-                    tiled, tile_size, tile_overlap = True, (512, 512), (64, 64)
+                    tiled, tile_size, tile_overlap = True, (1024, 1024), (128, 128)
                 elif tile_size[0] > 256:
                     tile_size = (tile_size[0] // 2, tile_size[1] // 2)
                     tile_overlap = (max(32, tile_overlap[0] // 2),) * 2
@@ -194,9 +214,14 @@ class Runner:
                     pos, neg, cfg.diffusion.cfg_scale, cfg.diffusion.cfg_rescale
                 )
 
-            return dm.euler_sample(
+            # Euler step math runs fp32 (t arrays promote); the latent
+            # crosses phases in the compute dtype — decoding fp32 latents
+            # doubles VAE activation memory for no quality gain (the
+            # reference hands bf16/fp16 latents between phases too).
+            out = dm.euler_sample(
                 base_noise, f, list(timesteps), T, cfg.diffusion.prediction_type
             )
+            return out.astype(compute_dtype)
 
         fn = jax.jit(step)
         self._dit_step_cache[key] = fn

@@ -48,9 +48,10 @@ def test_sharded_fused_attention_with_window_padding():
     """The fused kernel under shard_map must match unsharded even when the
     window count does not divide the seq axis (pad windows are all-invalid
     and sliced off before the text mean-coalesce)."""
-    from seedvr2_tpu.ops.attention import get_attention_backend
+    from seedvr2_tpu.ops.attention import get_attention_backend, set_attention_backend
 
-    assert get_attention_backend() == "fused"
+    prev = get_attention_backend()
+    set_attention_backend("fused")
     cfg = dit_tiny()
     params = init_params(cfg, jax.random.PRNGKey(0))
     thw, txt_len = (3, 8, 8), 4  # 3 temporal windows -> pad to 4 on seq=2
@@ -70,7 +71,10 @@ def test_sharded_fused_attention_with_window_padding():
         with sharded_dit(mesh):
             return nadit_forward(p, cfg, v, tx, ts, plans)
 
-    out = jax.jit(f)(sparams, svid, txt, t)
+    try:
+        out = jax.jit(f)(sparams, svid, txt, t)
+    finally:
+        set_attention_backend(prev)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4, rtol=1e-3)
 
 
