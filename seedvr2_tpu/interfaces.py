@@ -433,6 +433,12 @@ class SeedVR2VideoUpscaler:
         if want_cache:
             cached = _GLOBAL_CACHE.get(cache_key, signature)
             if cached is not None:
+                if cached.cfg != cfg:
+                    # The jitted step/finalize/VAE closures captured the old
+                    # cfg at trace time and are keyed by shape only — drop
+                    # them so changed knobs (noise scales, color method,
+                    # tile setup) take effect instead of serving stale traces.
+                    cached.invalidate_compiled()
                 cached.cfg = cfg
                 return cached
 

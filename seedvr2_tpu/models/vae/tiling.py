@@ -199,6 +199,13 @@ def tiled_encode(
         )
         if tile_sharding is not None:
             batch = jax.device_put(batch, tile_sharding)
+        elif result is not None:
+            # When the whole driver runs under one jit, tile groups are
+            # data-independent and XLA overlaps them — peak HBM becomes
+            # n_groups x one group's activations. Tie each group's input to
+            # the previous accumulation so groups run strictly in sequence
+            # (peak = one group), exactly like the eager per-tile dispatch.
+            batch, _ = jax.lax.optimization_barrier((batch, result))
         enc = slicing_encode(params, cfg, batch)  # [g, T', lt_h, lt_w, 2C]
         if result is None:
             result = jnp.zeros((1, enc.shape[1], H_lat, W_lat, enc.shape[-1]), jnp.float32)
@@ -274,6 +281,11 @@ def tiled_decode(
             # slice the spatial tiling becomes tile parallelism (SURVEY §2.3
             # "VAE tiles sharded across mesh devices")
             batch = jax.device_put(batch, tile_sharding)
+        elif result is not None:
+            # Serialize tile groups under jit (see tiled_encode): without
+            # this barrier XLA overlaps the independent group decodes and
+            # peak HBM multiplies by the group count.
+            batch, _ = jax.lax.optimization_barrier((batch, result))
         dec = slicing_decode(params, cfg, batch)  # [g, T', th, tw, 3]
         if result is None:
             result = jnp.zeros((1, dec.shape[1], H * sf, W * sf, 3), jnp.float32)

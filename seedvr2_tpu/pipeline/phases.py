@@ -57,13 +57,23 @@ def _check_interrupt(ctx):
         fn()
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=32)
+def _transform_jit(resolution: int, max_resolution: int):
+    return jax.jit(
+        lambda v: pipeline_transform(v.astype(jnp.float32), resolution, max_resolution)
+    )
+
+
 def _transform_batch(cfg: PipelineConfig, rgb: np.ndarray) -> jnp.ndarray:
     """[T, H, W, 3] float in [0,1] -> [T, H', W', 3] in [-1,1] on device.
     Frames cross the host link as float16 (half the bytes, >10-bit fidelity)
-    and are widened on device."""
+    and are widened on device; resize+pad+normalize run as one executable."""
     if isinstance(rgb, np.ndarray):
-        rgb = jnp.asarray(rgb.astype(np.float16)).astype(jnp.float32)
-    return pipeline_transform(rgb, cfg.resolution, cfg.max_resolution)
+        rgb = jnp.asarray(rgb.astype(np.float16))
+    return _transform_jit(cfg.resolution, cfg.max_resolution)(rgb)
 
 
 @jax.jit

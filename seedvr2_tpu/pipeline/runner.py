@@ -47,6 +47,7 @@ class Runner:
         self.mesh = mesh
         self._dit_step_cache: Dict[Tuple, callable] = {}
         self._finalize_cache: Dict[Tuple, callable] = {}
+        self._vae_cache: Dict[Tuple, callable] = {}
 
     # ------------------------------ condition ------------------------------ #
 
@@ -92,41 +93,70 @@ class Runner:
             return 0, None
         return n, jax.sharding.NamedSharding(self.mesh, jax.sharding.PartitionSpec("data"))
 
+    def _vae_fn(self, kind: str, tiled, ts, to, tb, arr_shape, arr_dtype):
+        """One compiled executable for the WHOLE tiled encode/decode: the
+        tile grid is static Python, so jitting the driver folds dozens of
+        per-tile dispatches (slice, decode, scatter-add) into one program —
+        on a high-latency link each eager dispatch costs an RPC round-trip
+        (docs/PERFORMANCE.md), and XLA can overlap tile work it couldn't
+        see before."""
+        c = self.cfg
+        key = (kind, tiled, ts, to, tb, arr_shape, str(arr_dtype))
+        fn = self._vae_cache.get(key)
+        if fn is None:
+            if kind == "encode":
+                def f(p, a):
+                    return vae_tiling.vae_encode(
+                        p, c.vae, a, tiled=tiled, tile_size=ts, tile_overlap=to,
+                        tile_batch=tb,
+                    )
+            else:
+                def f(p, a):
+                    return vae_tiling.vae_decode(
+                        p, c.vae, a, tiled=tiled, tile_size=ts, tile_overlap=to,
+                        tile_batch=tb,
+                    )
+            fn = jax.jit(f)
+            self._vae_cache[key] = fn
+        return fn
+
     def vae_encode(self, video: jnp.ndarray) -> jnp.ndarray:
         """video: [B, T, H, W, 3] in [-1, 1] -> scaled latent."""
         c = self.cfg
         tp_n, tp_shard = self._tile_parallel(video.shape[0])
+
+        def run(tiled, ts, to):
+            tb = max(c.encode_tile_batch, tp_n) if tiled else c.encode_tile_batch
+            if tp_shard is not None:
+                # mesh path: device_put sharding happens inside the tiling
+                # driver, which cannot live under jit
+                return vae_tiling.vae_encode(
+                    self.vae_params, c.vae, video, tiled=tiled, tile_size=ts,
+                    tile_overlap=to, tile_batch=tb, tile_sharding=tp_shard,
+                )
+            fn = self._vae_fn("encode", tiled, ts, to, tb, video.shape, video.dtype)
+            return fn(self.vae_params, video)
+
         return self._with_oom_fallback(
-            "encode",
-            lambda tiled, ts, to: vae_tiling.vae_encode(
-                self.vae_params, c.vae, video, tiled=tiled, tile_size=ts,
-                tile_overlap=to,
-                tile_batch=max(c.encode_tile_batch, tp_n) if tiled else c.encode_tile_batch,
-                tile_sharding=tp_shard,
-            ),
-            c.encode_tiled,
-            c.encode_tile_size,
-            c.encode_tile_overlap,
+            "encode", run, c.encode_tiled, c.encode_tile_size, c.encode_tile_overlap
         )
 
     def vae_decode(self, latent: jnp.ndarray) -> jnp.ndarray:
         c = self.cfg
         tp_n, tp_shard = self._tile_parallel(latent.shape[0])
+
+        def run(tiled, ts, to):
+            tb = max(c.decode_tile_batch, tp_n) if tiled else c.decode_tile_batch
+            if tp_shard is not None:
+                return vae_tiling.vae_decode(
+                    self.vae_params, c.vae, latent, tiled=tiled, tile_size=ts,
+                    tile_overlap=to, tile_batch=tb, tile_sharding=tp_shard,
+                )
+            fn = self._vae_fn("decode", tiled, ts, to, tb, latent.shape, latent.dtype)
+            return fn(self.vae_params, latent)
+
         return self._with_oom_fallback(
-            "decode",
-            lambda tiled, ts, to: vae_tiling.vae_decode(
-                self.vae_params,
-                c.vae,
-                latent,
-                tiled=tiled,
-                tile_size=ts,
-                tile_overlap=to,
-                tile_batch=max(c.decode_tile_batch, tp_n) if tiled else c.decode_tile_batch,
-                tile_sharding=tp_shard,
-            ),
-            c.decode_tiled,
-            c.decode_tile_size,
-            c.decode_tile_overlap,
+            "decode", run, c.decode_tiled, c.decode_tile_size, c.decode_tile_overlap
         )
 
     def _with_oom_fallback(self, tag, fn, tiled, tile_size, tile_overlap):
@@ -135,8 +165,15 @@ class Runner:
         then keep halving the tile (floor 256px) and retry."""
         while True:
             try:
-                # block so async RESOURCE_EXHAUSTED surfaces inside the retry
-                return jax.block_until_ready(fn(tiled, tile_size, tile_overlap))
+                out = fn(tiled, tile_size, tile_overlap)
+                # Force completion so async RESOURCE_EXHAUSTED surfaces
+                # inside the retry. block_until_ready alone is not reliable
+                # on tunneled platforms (it can return before execution
+                # finishes there) — fetch one element, which cannot complete
+                # without the whole program having run.
+                first = jax.tree.leaves(out)[0]
+                np.asarray(first[(0,) * first.ndim])
+                return out
             except Exception as e:  # jaxlib errors don't share one type
                 if "RESOURCE_EXHAUSTED" not in str(e):
                     raise
@@ -274,6 +311,14 @@ class Runner:
         step = self._dit_step(thw, int(self.text_pos.shape[1]))
         rng = batch_key(seed, "dit")
         return step(self.dit_params, latent, self.text_pos, rng)
+
+    def invalidate_compiled(self) -> None:
+        """Drop every per-shape compiled closure. Needed when ``cfg`` is
+        replaced on a cached Runner (node layer cache hit with changed
+        settings): the closures captured the old cfg at trace time."""
+        self._dit_step_cache.clear()
+        self._finalize_cache.clear()
+        self._vae_cache.clear()
 
     # ------------------------- phased weight residency ---------------------- #
 

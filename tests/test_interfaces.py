@@ -92,6 +92,27 @@ def test_global_cache_staleness_eviction():
     assert len(cache) == 0
 
 
+def test_cache_hit_with_changed_cfg_invalidates_compiled():
+    """A cache hit whose PipelineConfig differs must drop the Runner's
+    per-shape compiled closures: they captured the old cfg at trace time
+    (noise scales, color method, tile setup are baked into the trace)."""
+    import dataclasses
+
+    from seedvr2_tpu.pipeline.runner import Runner
+
+    cfg = _tiny_cfg()
+    runner = Runner(cfg, None, None, np.zeros((4, cfg.dit.txt_in_dim), np.float32))
+    runner._dit_step_cache[("fake",)] = object()
+    runner._finalize_cache[("fake",)] = object()
+    runner._vae_cache[("fake",)] = object()
+    runner.invalidate_compiled()
+    assert not runner._dit_step_cache
+    assert not runner._finalize_cache
+    assert not runner._vae_cache
+    # sanity: frozen-dataclass equality is what the node layer keys off
+    assert dataclasses.replace(cfg, latent_noise_scale=0.5) != cfg
+
+
 def test_interrupt_fn_aborts_generation():
     """ctx interrupt is checked per batch (reference:
     generation_utils.py:660-663, called at every phase loop)."""
