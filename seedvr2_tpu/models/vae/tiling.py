@@ -144,6 +144,76 @@ def _edge_weights(n: int, ov: int, at_start_edge: bool, at_end_edge: bool) -> np
     return w
 
 
+def _scan_tiled(
+    run_group,  # [g, T, th_in, tw_in, Cin] -> [g, T2, th_out, tw_out, Cout]
+    tile_in: jnp.ndarray,  # [n_tiles_padded, T, th_in, tw_in, Cin]
+    weights: np.ndarray,  # [n_tiles_padded, th_out, tw_out]; 0 for pad tiles
+    out_starts: np.ndarray,  # [n_tiles_padded, 2] output-space (y, x)
+    out_hw: Tuple[int, int],
+    tile_batch: int,
+    tile_sharding,
+) -> jnp.ndarray:
+    """Sequential tile-group driver as one ``lax.scan``.
+
+    The body (one group of ``tile_batch`` tiles through the model + blended
+    scatter-add at dynamic offsets) is traced and compiled ONCE regardless of
+    grid size, and scan's carry makes group-by-group execution explicit — XLA
+    cannot overlap the independent group computations and multiply peak HBM
+    by the group count, which is exactly what happens if the groups are
+    unrolled side by side under one jit. Remainder groups are padded with a
+    duplicate of the last tile carrying zero blend weight, so every group has
+    one shape and padding cannot double-count."""
+    g = tile_batch
+    n_groups = len(tile_in) // g
+    out_shape = jax.eval_shape(
+        run_group, jax.ShapeDtypeStruct((g,) + tuple(tile_in.shape[1:]), tile_in.dtype)
+    )
+    T2, th_out, tw_out, c_out = out_shape.shape[1:]
+    H_out, W_out = out_hw
+
+    xs = (
+        tile_in.reshape((n_groups, g) + tile_in.shape[1:]),
+        jnp.asarray(weights.reshape(n_groups, g, th_out, tw_out)),
+        jnp.asarray(out_starts.reshape(n_groups, g, 2).astype(np.int32)),
+    )
+    acc0 = jnp.zeros((1, T2, H_out, W_out, c_out), jnp.float32)
+    cnt0 = jnp.zeros((1, 1, H_out, W_out, 1), jnp.float32)
+
+    def body(carry, inp):
+        acc, cnt = carry
+        batch, w, st = inp
+        if tile_sharding is not None:
+            # distribute the group's tiles across the mesh's data axis: on an
+            # N-chip slice spatial tiling doubles as tile parallelism
+            # (SURVEY §2.3 "VAE tiles sharded across mesh devices")
+            batch = jax.lax.with_sharding_constraint(batch, tile_sharding)
+        out = run_group(batch)  # [g, T2, th_out, tw_out, Cout]
+        for gi in range(g):  # static unroll within one group
+            w2 = w[gi][None, None, :, :, None]
+            y, x = st[gi, 0], st[gi, 1]
+            upd = out[gi : gi + 1].astype(jnp.float32) * w2
+            cur = jax.lax.dynamic_slice(
+                acc, (0, 0, y, x, 0), (1, T2, th_out, tw_out, c_out)
+            )
+            acc = jax.lax.dynamic_update_slice(acc, cur + upd, (0, 0, y, x, 0))
+            curc = jax.lax.dynamic_slice(cnt, (0, 0, y, x, 0), (1, 1, th_out, tw_out, 1))
+            cnt = jax.lax.dynamic_update_slice(cnt, curc + w2[:, :1], (0, 0, y, x, 0))
+        return (acc, cnt), None
+
+    (acc, cnt), _ = jax.lax.scan(body, (acc0, cnt0), xs)
+    return acc / jnp.clip(cnt, 1e-6)
+
+
+def _pad_tiles(tiles: list, weights: list, tile_batch: int):
+    """Pad the tile list to a multiple of ``tile_batch`` with zero-weight
+    duplicates of the last tile."""
+    pad = (-len(tiles)) % tile_batch
+    if pad:
+        tiles = tiles + [tiles[-1]] * pad
+        weights = weights + [np.zeros_like(weights[-1])] * pad
+    return tiles, np.stack(weights)
+
+
 def tiled_encode(
     params,
     cfg: VAEConfig,
@@ -155,9 +225,8 @@ def tiled_encode(
 ) -> jnp.ndarray:
     """Spatial tiling in latent-space coordinates (reference:
     attn_video_vae.py:1302-1468). Tile/overlap are pixel-space values.
-    Tiles are encoded ``tile_batch`` at a time through one compiled encoder
-    executable; remainder groups are padded to that batch so there is exactly
-    one compiled shape and sharding applies to every group."""
+    Tiles are encoded ``tile_batch`` at a time through one scanned encoder
+    body (see _scan_tiled)."""
     B, T, H, W, _ = x.shape
     sf = cfg.spatial_downsample_factor
     ltmax_h, ltmax_w = max(1, tile_size[0] // sf), max(1, tile_size[1] // sf)
@@ -185,38 +254,21 @@ def tiled_encode(
         wh = _edge_weights(lt_h, min(lo_h, lt_h - 1), y == 0, y == rows[-1])
         ww = _edge_weights(lt_w, min(lo_w, lt_w - 1), x0 == 0, x0 == cols[-1])
         weights.append(np.outer(wh, ww))
-    weights = jnp.asarray(np.stack(weights))
+    tiles, weights = _pad_tiles(tiles, weights, tile_batch)
 
-    result = None
-    count = jnp.zeros((1, 1, H_lat, W_lat, 1), jnp.float32)
-    for g0 in range(0, len(tiles), tile_batch):
-        group = tiles[g0 : g0 + tile_batch]
-        n_real = len(group)
-        if n_real < tile_batch:
-            group = group + [group[-1]] * (tile_batch - n_real)  # pad: one shape
-        batch = jnp.stack(
-            [x[0, :, y * sf : (y + lt_h) * sf, x0 * sf : (x0 + lt_w) * sf] for (y, x0) in group]
-        )
-        if tile_sharding is not None:
-            batch = jax.device_put(batch, tile_sharding)
-        elif result is not None:
-            # When the whole driver runs under one jit, tile groups are
-            # data-independent and XLA overlaps them — peak HBM becomes
-            # n_groups x one group's activations. Tie each group's input to
-            # the previous accumulation so groups run strictly in sequence
-            # (peak = one group), exactly like the eager per-tile dispatch.
-            batch, _ = jax.lax.optimization_barrier((batch, result))
-        enc = slicing_encode(params, cfg, batch)  # [g, T', lt_h, lt_w, 2C]
-        if result is None:
-            result = jnp.zeros((1, enc.shape[1], H_lat, W_lat, enc.shape[-1]), jnp.float32)
-        for gi in range(n_real):
-            y, x0 = group[gi]
-            w2 = weights[g0 + gi][None, :, :, None]
-            result = result.at[0, :, y : y + lt_h, x0 : x0 + lt_w].add(
-                enc[gi].astype(jnp.float32) * w2
-            )
-            count = count.at[:, :, y : y + lt_h, x0 : x0 + lt_w].add(w2[None])
-    return (result / jnp.clip(count, 1e-6)).astype(x.dtype)
+    tile_in = jnp.stack(
+        [x[0, :, y * sf : (y + lt_h) * sf, x0 * sf : (x0 + lt_w) * sf] for (y, x0) in tiles]
+    )
+    result = _scan_tiled(
+        lambda b: slicing_encode(params, cfg, b),
+        tile_in,
+        weights,
+        np.asarray(tiles),
+        (H_lat, W_lat),
+        tile_batch,
+        tile_sharding,
+    )
+    return result.astype(x.dtype)
 
 
 def tiled_decode(
@@ -266,38 +318,19 @@ def tiled_decode(
         wh = _edge_weights(th, min(ov_h, th - 1), y == 0, y == rows[-1])
         ww = _edge_weights(tw, min(ov_w, tw - 1), x == 0, x == cols[-1])
         weights.append(np.outer(wh, ww))
-    weights = jnp.asarray(np.stack(weights))  # [n, th, tw]
+    tiles, weights = _pad_tiles(tiles, weights, tile_batch)
 
-    result = None
-    count = jnp.zeros((1, 1, H * sf, W * sf, 1), jnp.float32)
-    for g0 in range(0, len(tiles), tile_batch):
-        group = tiles[g0 : g0 + tile_batch]
-        n_real = len(group)
-        if n_real < tile_batch:
-            group = group + [group[-1]] * (tile_batch - n_real)  # pad: one shape
-        batch = jnp.stack([z[0, :, y : y + lt_h, x : x + lt_w] for (y, x) in group])
-        if tile_sharding is not None:
-            # distribute tiles across the mesh's data axis: on an N-chip
-            # slice the spatial tiling becomes tile parallelism (SURVEY §2.3
-            # "VAE tiles sharded across mesh devices")
-            batch = jax.device_put(batch, tile_sharding)
-        elif result is not None:
-            # Serialize tile groups under jit (see tiled_encode): without
-            # this barrier XLA overlaps the independent group decodes and
-            # peak HBM multiplies by the group count.
-            batch, _ = jax.lax.optimization_barrier((batch, result))
-        dec = slicing_decode(params, cfg, batch)  # [g, T', th, tw, 3]
-        if result is None:
-            result = jnp.zeros((1, dec.shape[1], H * sf, W * sf, 3), jnp.float32)
-        for gi in range(n_real):
-            y, x = group[gi]
-            w2 = weights[g0 + gi][None, :, :, None]
-            hy, hx = y * sf, x * sf
-            result = result.at[0, :, hy : hy + th, hx : hx + tw].add(
-                dec[gi].astype(jnp.float32) * w2
-            )
-            count = count.at[:, :, hy : hy + th, hx : hx + tw].add(w2[None])
-    return (result / jnp.clip(count, 1e-6)).astype(z.dtype)
+    tile_in = jnp.stack([z[0, :, y : y + lt_h, x : x + lt_w] for (y, x) in tiles])
+    result = _scan_tiled(
+        lambda b: slicing_decode(params, cfg, b),
+        tile_in,
+        weights,
+        np.asarray(tiles) * sf,  # pixel-space output starts
+        (H * sf, W * sf),
+        tile_batch,
+        tile_sharding,
+    )
+    return result.astype(z.dtype)
 
 
 # --------------------------------------------------------------------------- #
