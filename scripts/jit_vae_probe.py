@@ -40,7 +40,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=5)
     ap.add_argument("--no-dit", action="store_true")
+    ap.add_argument("--dec-tile", type=str, default="1024,1024",
+                    help="decode tile h,w in pixels (e.g. 1088,1024 = full-height)")
+    ap.add_argument("--dec-overlap", type=str, default="128,128")
+    ap.add_argument("--skip-encode", action="store_true")
     args = ap.parse_args()
+    dec_ts = tuple(int(v) for v in args.dec_tile.split(","))
+    dec_to = tuple(int(v) for v in args.dec_overlap.split(","))
 
     from seedvr2_tpu.config import PipelineConfig
     from seedvr2_tpu.models.dit.nadit import init_params as init_dit
@@ -52,8 +58,8 @@ def main():
         encode_tile_size=(1024, 1024),
         encode_tile_overlap=(128, 128),
         decode_tiled=True,
-        decode_tile_size=(1024, 1024),
-        decode_tile_overlap=(128, 128),
+        decode_tile_size=dec_ts,
+        decode_tile_overlap=dec_to,
     )
     vae_params = init_vae_params(cfg.vae, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
     dit_params = None
@@ -79,8 +85,9 @@ def main():
     print(f"encode cfg: tiled={cfg.encode_tiled} ts={cfg.encode_tile_size} "
           f"tb={cfg.encode_tile_batch}; decode cfg: tiled={cfg.decode_tiled} "
           f"ts={cfg.decode_tile_size} tb={cfg.decode_tile_batch}", flush=True)
-    t = steady(lambda: runner.vae_encode(video))
-    print(f"encode (jitted driver): {t:.3f}s", flush=True)
+    if not args.skip_encode:
+        t = steady(lambda: runner.vae_encode(video))
+        print(f"encode (jitted driver): {t:.3f}s", flush=True)
     t = steady(lambda: runner.vae_decode(latent))
     print(f"decode (jitted driver): {t:.3f}s", flush=True)
     return 0
