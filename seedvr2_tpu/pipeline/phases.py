@@ -48,6 +48,7 @@ def make_context(cfg: PipelineConfig, debug: Optional[Debug] = None) -> Dict[str
         "true_dims": None,
         "total_frames": 0,
         "interrupt_fn": None,
+        "ref_device": {},
     }
 
 
@@ -141,6 +142,13 @@ def encode_all_batches(
         else:
             rgb = video
         tv = _transform_batch(cfg, rgb)
+        if _stash_color_ref(cfg, ctx):
+            # Phase 3/4 need these exact transformed frames again as the
+            # color-correction style reference; keeping them on device skips
+            # a second host upload + resize per batch (bitwise-identical:
+            # the recompute path runs the same transform on the same f16
+            # upload). Budget-gated so long videos fall back to recompute.
+            ctx["ref_device"][bi] = tv
         if cfg.input_noise_scale > 0:
             # reference: generation_phases.py:415-431
             key_noise, sub = jax.random.split(key_noise)
@@ -260,10 +268,13 @@ def postprocess_all_batches(
         skip = ori - (we - ws)  # overlap frames dropped from batch head
 
         if cfg.color_correction != "none":
-            # Reconstruct the color reference on demand (reference:
-            # generation_phases.py:127-168) and trim like the output.
-            video = batching.prepare_batch(images, spec)
-            ref = _transform_batch(cfg, video[..., :3])  # [T', H', W', 3]
+            # Color reference: phase-1 stash when present, else reconstruct
+            # on demand (reference: generation_phases.py:127-168); trimmed
+            # like the output.
+            ref = ctx["ref_device"].pop(bi, None)
+            if ref is None:
+                video = batching.prepare_batch(images, spec)
+                ref = _transform_batch(cfg, video[..., :3])  # [T', H', W', 3]
             ref = ref[skip:ori, :true_h, :true_w]
             content = jnp.asarray(out_rgb).transpose(0, 3, 1, 2)  # BCHW
             style = ref.transpose(0, 3, 1, 2)
@@ -317,10 +328,17 @@ def decode_and_postprocess_fused(
         spec = specs[bi]
         ori = spec.ori_length
         ref16 = None
+        ref_transformed = False
         if cfg.color_correction != "none":
-            video = batching.prepare_batch(images, spec)
-            ref16 = jnp.asarray(video[..., :3].astype(np.float16))
-        out_u16 = runner.finalize_batch(dec, ref16, ori, true_h, true_w)
+            ref16 = ctx["ref_device"].pop(bi, None)
+            if ref16 is not None:
+                ref_transformed = True
+            else:
+                video = batching.prepare_batch(images, spec)
+                ref16 = jnp.asarray(video[..., :3].astype(np.float16))
+        out_u16 = runner.finalize_batch(
+            dec, ref16, ori, true_h, true_w, ref_transformed=ref_transformed
+        )
         final[write : write + ori] = np.asarray(jax.device_get(out_u16), np.float32) / 65535.0
         write += ori
         ctx["all_upscaled"][bi] = None
@@ -370,6 +388,21 @@ def generate(
         category="generation",
     )
     return ctx["final_video"]
+
+
+def _stash_color_ref(cfg: PipelineConfig, ctx: Dict[str, Any]) -> bool:
+    """Keep phase-1 transformed frames on device for reuse as the phase-3/4
+    color reference, when the whole run's stash fits in ~10% of HBM."""
+    if cfg.color_correction == "none":
+        return False
+    cached = ctx.get("_stash_ref")
+    if cached is None:
+        th, tw = ctx["true_dims"]
+        n_batches = max(len(ctx["batches"] or ()), 1)
+        est = n_batches * (cfg.batch_size + 1) * th * tw * 3 * 4  # fp32
+        cached = est < 0.1 * _hbm_bytes()
+        ctx["_stash_ref"] = cached
+    return cached
 
 
 def _hbm_bytes() -> int:

@@ -276,17 +276,18 @@ class Runner:
     def finalize_batch(
         self,
         decoded: jnp.ndarray,  # [1, T, H, W, 3] in [-1, 1] (device)
-        ref_half,  # [T', h, w, 3] float16 in [0, 1] or None
-        ori: int,
+        ref_half,  # [T', h, w, 3] float16 in [0, 1], or pre-transformed
+        ori: int,  # target-res frames when ref_transformed (phase-1 stash)
         true_h: int,
         true_w: int,
+        ref_transformed: bool = False,
     ) -> jnp.ndarray:
         """Trim + color-fix + normalize + uint16 pack in ONE executable so
         only 2 bytes/px ever cross the host link (the dev-tunnel equivalent
         of minimizing PCIe traffic). Returns [ori, true_h, true_w, 3] u16."""
         method = self.cfg.color_correction
         key = (method, decoded.shape, None if ref_half is None else ref_half.shape,
-               ori, true_h, true_w)
+               ori, true_h, true_w, ref_transformed)
         fn = self._finalize_cache.get(key)
         if fn is None:
             cfg = self.cfg
@@ -296,9 +297,12 @@ class Runner:
             def _fn(dec, ref):
                 x = dec[0, :ori, :true_h, :true_w].astype(jnp.float32)
                 if ref is not None and method != "none":
-                    style = pipeline_transform(
-                        ref.astype(jnp.float32), cfg.resolution, cfg.max_resolution
-                    )[:ori, :true_h, :true_w]
+                    if ref_transformed:
+                        style = ref.astype(jnp.float32)[:ori, :true_h, :true_w]
+                    else:
+                        style = pipeline_transform(
+                            ref.astype(jnp.float32), cfg.resolution, cfg.max_resolution
+                        )[:ori, :true_h, :true_w]
                     content = x.transpose(0, 3, 1, 2)
                     style = style.transpose(0, 3, 1, 2)
                     x = color_ops.apply_color_correction(method, content, style)
