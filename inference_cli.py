@@ -136,7 +136,13 @@ def build_runner(args):
 
     offload = "auto"
     if args.tensor_offload_device is not None:
-        offload = "never" if args.tensor_offload_device.lower() in ("none", "cuda", "gpu", "tpu") else "always"
+        v = args.tensor_offload_device.lower()
+        if v in ("none", "cuda", "gpu", "tpu"):
+            offload = "never"
+        elif v in ("auto", ""):
+            offload = "auto"  # HBM-pressure heuristic (the documented default)
+        else:  # "cpu" or any explicit host device string
+            offload = "always"
     cfg = PipelineConfig(
         dit=dit_cfg,
         vae=vae_cfg,
@@ -180,14 +186,9 @@ def process_frames(runner, cfg, frames: np.ndarray, debug, mesh=None, tile_debug
 
         out = phases.generate(runner, frames, cfg, debug)
     if tile_debug in ("encode", "decode"):
-        from seedvr2_tpu.utils.tile_debug import draw_tile_boundaries, tile_boundaries
+        from seedvr2_tpu.utils.tile_debug import draw_for_config
 
-        tiled = cfg.encode_tiled if tile_debug == "encode" else cfg.decode_tiled
-        if tiled:
-            ts = cfg.encode_tile_size if tile_debug == "encode" else cfg.decode_tile_size
-            to = cfg.encode_tile_overlap if tile_debug == "encode" else cfg.decode_tile_overlap
-            bounds = tile_boundaries(out.shape[1], out.shape[2], ts, to)
-            out = draw_tile_boundaries(out, bounds)
+        out = draw_for_config(np.asarray(out), cfg, tile_debug)
     return out
 
 

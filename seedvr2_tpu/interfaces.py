@@ -178,9 +178,14 @@ class GlobalRunnerCache:
         entry = self._entries.pop(key, None)
         if entry is not None:
             runner = entry[1]
-            release = getattr(runner, "release_dit", None)
-            if release is not None:
-                release()
+            # discard, don't release: release_dit keeps a host copy for
+            # re-materialization, a multi-GB device_get the evicted runner
+            # would never use
+            drop = getattr(runner, "discard_weights", None) or getattr(
+                runner, "release_dit", None
+            )
+            if drop is not None:
+                drop()
 
     def clear(self) -> None:
         for key in list(self._entries):
@@ -195,6 +200,18 @@ _GLOBAL_CACHE = GlobalRunnerCache()
 
 def get_global_cache() -> GlobalRunnerCache:
     return _GLOBAL_CACHE
+
+
+def _maybe_torch_image(out):
+    """ComfyUI's IMAGE contract is a torch.Tensor [T, H, W, C] float32 in
+    [0,1] (downstream nodes call .cpu() on it); convert only when running
+    inside a real ComfyUI so standalone callers keep numpy."""
+    try:
+        import comfy  # noqa: F401 — present only inside ComfyUI
+        import torch
+    except ImportError:
+        return out
+    return torch.from_numpy(np.ascontiguousarray(np.asarray(out, np.float32)))
 
 
 def _comfy_interrupt_fn():
@@ -357,19 +374,10 @@ class SeedVR2VideoUpscaler:
             interrupt_fn=_comfy_interrupt_fn(),
         )
         if vae.get("tile_debug", "false") in ("encode", "decode"):
-            out = self._draw_tile_debug(out, runner.cfg, vae["tile_debug"])
-        return (out,)
+            from .utils.tile_debug import draw_for_config
 
-    def _draw_tile_debug(self, out, cfg, which):
-        from .utils.tile_debug import draw_tile_boundaries, tile_boundaries
-
-        tiled = cfg.encode_tiled if which == "encode" else cfg.decode_tiled
-        if not tiled:
-            return out
-        ts = cfg.encode_tile_size if which == "encode" else cfg.decode_tile_size
-        to = cfg.encode_tile_overlap if which == "encode" else cfg.decode_tile_overlap
-        bounds = tile_boundaries(out.shape[1], out.shape[2], ts, to)
-        return draw_tile_boundaries(out, bounds)
+            out = draw_for_config(out, runner.cfg, vae["tile_debug"])
+        return (_maybe_torch_image(out),)
 
     def _weighted_progress(self, cb):
         names = ["Phase 1: Encoding", "Phase 2: Upscaling", "Phase 3: Decoding", "Phase 4: Post-processing"]

@@ -256,6 +256,12 @@ def tiled_encode(
         weights.append(np.outer(wh, ww))
     tiles, weights = _pad_tiles(tiles, weights, tile_batch)
 
+    # Edge-pad to the latent grid extent so every tile slice is full-size
+    # even when H/W are not multiples of sf (the pipeline pads to /16
+    # upstream, but tiled_encode is also a public API).
+    Hp, Wp = H_lat * sf, W_lat * sf
+    if Hp != H or Wp != W:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, Hp - H), (0, Wp - W), (0, 0)), mode="edge")
     tile_in = jnp.stack(
         [x[0, :, y * sf : (y + lt_h) * sf, x0 * sf : (x0 + lt_w) * sf] for (y, x0) in tiles]
     )

@@ -94,6 +94,10 @@ def generate_multichip(
         tv = jax.vmap(
             lambda v: pipeline_transform(v.astype(jnp.float32), cfg.resolution, cfg.max_resolution)
         )(tv)
+        # The color reference must be the CLEAN transformed frames — the
+        # single-chip path stashes them before noising too (phases.py),
+        # and the reference reconstructs them from the raw input.
+        ref_clean = tv if cfg.color_correction != "none" else None
         if cfg.input_noise_scale > 0:
             # reference: generation_phases.py:415-431
             key_noise, sub = jax.random.split(key_noise)
@@ -112,7 +116,7 @@ def generate_multichip(
             # On-device sharded color fix against the resized input
             # (reference runs it per batch in phase 4); one SPMD program,
             # one host transfer per spec.
-            ref = tv[:, :t_real, :true_h, :true_w].astype(jnp.float32)
+            ref = ref_clean[:, :t_real, :true_h, :true_w].astype(jnp.float32)
             dec = _color_sharded(cfg.color_correction, dec.astype(jnp.float32), ref)
         out_segs[:, write_idx : write_idx + t_real] = np.asarray(
             jax.device_get(dec), np.float32

@@ -171,12 +171,16 @@ class Runner:
                 # inside the retry. block_until_ready alone is not reliable
                 # on tunneled platforms (it can return before execution
                 # finishes there) — fetch one element, which cannot complete
-                # without the whole program having run. OOM is deterministic
-                # per (shape, tiling) on a static-allocation backend, so the
-                # sync happens only on each configuration's FIRST run; later
-                # batches stay fully async and overlap with host transfers.
+                # without the whole program having run. During DECODE, HBM
+                # pressure only shrinks batch over batch (upscaled latents
+                # are consumed), so once a (shape, tiling) has completed the
+                # sync is skipped and later batches stay fully async,
+                # overlapping with host transfers. Encode keeps the per-call
+                # sync: resident latents and the color-ref stash GROW per
+                # batch, so a later identical-shape call can be the first to
+                # OOM.
                 key = (tag, tiled, tile_size, jax.tree.leaves(out)[0].shape)
-                if key not in self._oom_validated:
+                if tag != "decode" or key not in self._oom_validated:
                     first = jax.tree.leaves(out)[0]
                     np.asarray(first[(0,) * first.ndim])
                     self._oom_validated.add(key)
@@ -322,6 +326,15 @@ class Runner:
         step = self._dit_step(thw, int(self.text_pos.shape[1]))
         rng = batch_key(seed, "dit")
         return step(self.dit_params, latent, self.text_pos, rng)
+
+    def discard_weights(self) -> None:
+        """Free all HBM held by this runner WITHOUT a host copy — for cache
+        eviction, where the runner is being thrown away (release_dit would
+        device_get multi-GB of weights first; see phased residency below)."""
+        self.dit_params = None
+        self.vae_params = None
+        self._dit_host = None
+        self.invalidate_compiled()
 
     def invalidate_compiled(self) -> None:
         """Drop every per-shape compiled closure. Needed when ``cfg`` is

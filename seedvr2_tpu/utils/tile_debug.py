@@ -18,18 +18,21 @@ def tile_boundaries(
     tile_overlap: Tuple[int, int],
     spatial_downsample: int = 8,
 ) -> List[dict]:
-    """Pixel-space rectangles of the uniform latent tile grid used by
-    models/vae/tiling.py."""
+    """Pixel-space rectangles of the tile grid models/vae/tiling.py would
+    actually run: the equalized uniform grid (_axis_grid), not a naive
+    fixed-stride one — the whole point of the overlay is tuning tile
+    size/overlap, so it must show the real tiles."""
+    from ..models.vae.tiling import _axis_grid
+
     sf = spatial_downsample
     H_lat, W_lat = math.ceil(height / sf), math.ceil(width / sf)
-    lt_h, lt_w = max(1, tile_size[0] // sf), max(1, tile_size[1] // sf)
-    lo_h = max(0, min(tile_overlap[0] // sf, lt_h - 1))
-    lo_w = max(0, min(tile_overlap[1] // sf, lt_w - 1))
-    if H_lat <= lt_h and W_lat <= lt_w:
+    ltmax_h, ltmax_w = max(1, tile_size[0] // sf), max(1, tile_size[1] // sf)
+    lo_h = max(0, min(tile_overlap[0] // sf, ltmax_h - 1))
+    lo_w = max(0, min(tile_overlap[1] // sf, ltmax_w - 1))
+    if H_lat <= ltmax_h and W_lat <= ltmax_w:
         return []
-    sh, sw = max(1, lt_h - lo_h), max(1, lt_w - lo_w)
-    rows = [r * sh for r in range(max(1, math.ceil((H_lat - lo_h) / sh)))]
-    cols = [c * sw for c in range(max(1, math.ceil((W_lat - lo_w) / sw)))]
+    lt_h, rows = _axis_grid(H_lat, ltmax_h, lo_h)
+    lt_w, cols = _axis_grid(W_lat, ltmax_w, lo_w)
     out = []
     tid = 0
     for y in rows:
@@ -45,6 +48,21 @@ def tile_boundaries(
                 }
             )
     return out
+
+
+def draw_for_config(frames01: np.ndarray, cfg, which: str) -> np.ndarray:
+    """Annotate output frames with the encode/decode tile grid ``cfg`` runs.
+    Shared by the CLI (--tile_debug) and the node layer (tile_debug input)."""
+    tiled = cfg.encode_tiled if which == "encode" else cfg.decode_tiled
+    if not tiled:
+        return frames01
+    ts = cfg.encode_tile_size if which == "encode" else cfg.decode_tile_size
+    to = cfg.encode_tile_overlap if which == "encode" else cfg.decode_tile_overlap
+    bounds = tile_boundaries(
+        frames01.shape[1], frames01.shape[2], ts, to,
+        cfg.vae.spatial_downsample_factor,
+    )
+    return draw_tile_boundaries(frames01, bounds)
 
 
 def draw_tile_boundaries(frames01: np.ndarray, boundaries: List[dict]) -> np.ndarray:

@@ -122,6 +122,16 @@ def test_tiled_encode_shape(params):
     assert lat.shape == (1, 2, 8, 8, CFG.latent_channels)
 
 
+def test_tiled_encode_non_divisible_input(params):
+    """Public-API call with H/W not multiples of the spatial factor: tiles
+    are edge-padded to the latent grid extent instead of going ragged."""
+    x = jax.random.normal(jax.random.PRNGKey(18), (1, 5, 61, 51, 3))
+    lat = tiling.vae_encode(params, CFG, x, tiled=True, tile_size=(32, 32), tile_overlap=(8, 8))
+    sf = CFG.spatial_downsample_factor
+    assert lat.shape == (1, 2, -(-61 // sf), -(-51 // sf), CFG.latent_channels)
+    assert np.isfinite(np.asarray(lat)).all()
+
+
 def test_vae_scaling(params):
     x = jax.random.normal(jax.random.PRNGKey(9), (1, 1, 32, 32, 3))
     m = encoder_forward(params, CFG, x)
