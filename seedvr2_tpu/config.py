@@ -231,6 +231,11 @@ class PipelineConfig:
     # noise level applied to SR condition latent (cfg condition.noise_scale=0.25
     # in reference yaml is folded into aug-noise at generation_phases.py:683)
     compute_dtype: str = "bfloat16"
+    # "auto": when batches are independent (temporal_overlap=0, RGB, no
+    # prepend/phased weights/mesh) run each batch as ONE fused executable
+    # (transform->encode->DiT->decode->finalize, Runner.fused_batch);
+    # "off" forces the reference-shaped 4-phase pipeline.
+    fused_pipeline: str = "auto"
     # Host offload of per-batch intermediates between phases (the
     # reference's tensor_offload_device): "auto" offloads only when the
     # run's latents would crowd HBM, "always"/"never" force it.

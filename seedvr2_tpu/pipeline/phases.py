@@ -350,6 +350,55 @@ def decode_and_postprocess_fused(
     return ctx
 
 
+def generate_streaming(
+    runner: Runner,
+    images: np.ndarray,  # [T, H, W, 3] float in [0, 1]
+    cfg: PipelineConfig,
+    debug: Debug,
+    progress_callback: Optional[Callable] = None,
+    interrupt_fn: Optional[Callable] = None,
+) -> np.ndarray:
+    """Per-batch fused pipeline (Runner.fused_batch): each batch runs
+    transform->encode->DiT->decode->finalize as ONE executable, with batch
+    i+1's dispatch overlapping batch i's host transfer. Seeding and noise
+    key sequencing are identical to the phase-wise path, so outputs match.
+    Raises on OOM — generate() falls back to the 4-phase pipeline."""
+    total = len(images)
+    true_h, true_w = true_target_dims(
+        images.shape[1], images.shape[2], cfg.resolution, cfg.max_resolution
+    )
+    specs = batching.compute_batches(total, cfg.batch_size, 0, cfg.uniform_batch_size)
+    final = np.zeros((total, true_h, true_w, 3), np.float32)
+    key_noise = batch_key(cfg.seed, "input_noise")
+    debug.start_timer("streaming_pipeline")
+    write = 0
+    pending = None
+
+    def flush(p):
+        nonlocal write
+        u16, ori = p
+        final[write : write + ori] = np.asarray(jax.device_get(u16), np.float32) / 65535.0
+        write += ori
+
+    for bi, spec in enumerate(specs):
+        if interrupt_fn is not None:
+            interrupt_fn()
+        debug.start_timer(f"batch_{bi+1}")
+        video = batching.prepare_batch(images, spec)
+        key_noise, sub = jax.random.split(key_noise)
+        fr16 = jnp.asarray(video[..., :3].astype(np.float16))
+        u16 = runner.fused_batch(fr16, spec.ori_length, true_h, true_w, sub, cfg.seed)
+        if pending is not None:
+            flush(pending)
+        pending = (u16, spec.ori_length)
+        debug.end_timer(f"batch_{bi+1}", f"Batch {bi+1}/{len(specs)} (fused)")
+        if progress_callback:
+            progress_callback(bi + 1, len(specs), spec.ori_length, "Phase 3: Decoding")
+    flush(pending)
+    debug.end_timer("streaming_pipeline", "Fused streaming pipeline complete")
+    return final[:write]
+
+
 def generate(
     runner: Runner,
     images: np.ndarray,
@@ -364,9 +413,40 @@ def generate(
     import time
 
     cfg = cfg or runner.cfg
+    t0 = time.perf_counter()
+    can_stream = (
+        cfg.fused_pipeline != "off"
+        and batching.effective_overlap(cfg.batch_size, cfg.temporal_overlap) == 0
+        and images.shape[-1] == 3
+        and cfg.prepend_frames == 0
+        and not cfg.phased_weights
+        and getattr(runner, "mesh", None) is None
+    )
+    if can_stream:
+        dbg = debug or Debug()
+        try:
+            out = generate_streaming(
+                runner, images, cfg, dbg, progress_callback, interrupt_fn
+            )
+            dt = time.perf_counter() - t0
+            dbg.log(
+                f"Generated {len(out)} frames in {dt:.1f}s "
+                f"({len(out) / max(dt, 1e-9):.2f} fps)",
+                category="generation",
+            )
+            return out
+        except Exception as e:
+            if "RESOURCE_EXHAUSTED" not in str(e):
+                raise
+            dbg.log(
+                "HBM exhausted in the fused pipeline; falling back to the "
+                "phase-wise path with the tiling ladder",
+                category="memory",
+                force=True,
+            )
+
     ctx = make_context(cfg, debug)
     ctx["interrupt_fn"] = interrupt_fn
-    t0 = time.perf_counter()
     encode_all_batches(runner, ctx, images, progress_callback)
     upscale_all_batches(runner, ctx, progress_callback)
     fast_path = (

@@ -48,6 +48,7 @@ class Runner:
         self._dit_step_cache: Dict[Tuple, callable] = {}
         self._finalize_cache: Dict[Tuple, callable] = {}
         self._vae_cache: Dict[Tuple, callable] = {}
+        self._fused_cache: Dict[Tuple, callable] = {}
         self._oom_validated: set = set()
 
     # ------------------------------ condition ------------------------------ #
@@ -209,7 +210,13 @@ class Runner:
         key = (thw, txt_len)
         if key in self._dit_step_cache:
             return self._dit_step_cache[key]
+        fn = jax.jit(self._build_step_body(thw, txt_len))
+        self._dit_step_cache[key] = fn
+        return fn
 
+    def _build_step_body(self, thw: Tuple[int, int, int], txt_len: int):
+        """The traceable upscale-step body; jitted standalone by _dit_step
+        and inlined into the fused per-batch program (fused_batch)."""
         cfg = self.cfg
         pt, ph, pw = cfg.dit.patch_size
         patched = (thw[0] // pt, thw[1] // ph, thw[2] // pw)
@@ -271,9 +278,86 @@ class Runner:
             )
             return out.astype(compute_dtype)
 
-        fn = jax.jit(step)
-        self._dit_step_cache[key] = fn
-        return fn
+        return step
+
+    # ----------------------- fused per-batch pipeline ----------------------- #
+
+    def fused_batch(
+        self,
+        frames16: jnp.ndarray,  # [T', h_in, w_in, 3] float16 in [0, 1]
+        ori: int,
+        true_h: int,
+        true_w: int,
+        noise_key,
+        seed: int,
+    ) -> jnp.ndarray:
+        """The WHOLE per-batch pipeline as one executable: transform ->
+        (input noise) -> VAE encode -> one-step DiT -> VAE decode -> trim /
+        color fix / uint16 pack. With temporal_overlap=0 batches are fully
+        independent, so nothing forces the reference's 4-phase structure
+        (generation_phases.py phases exist for VRAM staging); fusing them
+        removes every inter-phase dispatch and the latent round-trips, and
+        the color reference is simply ``tv`` inside the program. Returns
+        [ori, true_h, true_w, 3] uint16. Raises on OOM (no retry ladder —
+        the caller falls back to the phase-wise pipeline)."""
+        c = self.cfg
+        key = ("fused", frames16.shape, ori, true_h, true_w)
+        fn = self._fused_cache.get(key)
+        if fn is None:
+            from ..ops import color as color_ops
+            from ..ops.resize import pipeline_transform
+
+            compute = jnp.dtype(c.compute_dtype)
+            tshape = jax.eval_shape(
+                lambda v: pipeline_transform(v, c.resolution, c.max_resolution),
+                jax.ShapeDtypeStruct(frames16.shape, jnp.float32),
+            ).shape
+            td, sf = c.vae.temporal_downsample_factor, c.vae.spatial_downsample_factor
+            thw = ((frames16.shape[0] - 1) // td + 1, tshape[1] // sf, tshape[2] // sf)
+            step = self._build_step_body(thw, int(self.text_pos.shape[1]))
+            method = c.color_correction
+
+            def f(dit_params, vae_params, fr16, txt, nkey, rng):
+                tv = pipeline_transform(
+                    fr16.astype(jnp.float32), c.resolution, c.max_resolution
+                )
+                video = tv
+                if c.input_noise_scale > 0:
+                    # reference: generation_phases.py:415-431
+                    noise = jax.random.normal(nkey, tv.shape, tv.dtype) * 0.05
+                    blend = c.input_noise_scale * 0.5
+                    video = tv * (1 - blend) + (tv + noise) * blend
+                latent = vae_tiling.vae_encode(
+                    vae_params, c.vae, video[None].astype(compute),
+                    tiled=c.encode_tiled, tile_size=c.encode_tile_size,
+                    tile_overlap=c.encode_tile_overlap, tile_batch=c.encode_tile_batch,
+                )
+                up = step(dit_params, latent, txt, rng)
+                dec = vae_tiling.vae_decode(
+                    vae_params, c.vae, up, tiled=c.decode_tiled,
+                    tile_size=c.decode_tile_size, tile_overlap=c.decode_tile_overlap,
+                    tile_batch=c.decode_tile_batch,
+                )
+                x = dec[0, :ori, :true_h, :true_w].astype(jnp.float32)
+                if method != "none":
+                    style = tv[:ori, :true_h, :true_w]  # clean (pre-noise) ref
+                    x = color_ops.apply_color_correction(
+                        method, x.transpose(0, 3, 1, 2), style.transpose(0, 3, 1, 2)
+                    ).transpose(0, 2, 3, 1)
+                out01 = jnp.clip(x * 0.5 + 0.5, 0.0, 1.0)
+                return (out01 * 65535.0 + 0.5).astype(jnp.uint16)
+
+            fn = jax.jit(f)
+            self._fused_cache[key] = fn
+        self.ensure_dit_resident()
+        out = fn(
+            self.dit_params, self.vae_params, frames16, self.text_pos,
+            noise_key, batch_key(seed, "dit"),
+        )
+        if key not in self._oom_validated:
+            np.asarray(out[(0,) * out.ndim])  # surface OOM before committing
+            self._oom_validated.add(key)
+        return out
 
     # --------------------------- fused finalize ---------------------------- #
 
@@ -343,6 +427,7 @@ class Runner:
         self._dit_step_cache.clear()
         self._finalize_cache.clear()
         self._vae_cache.clear()
+        self._fused_cache.clear()
         self._oom_validated.clear()
 
     # ------------------------- phased weight residency ---------------------- #

@@ -118,6 +118,41 @@ def test_fused_fast_path_matches_legacy():
     np.testing.assert_allclose(fast, legacy, atol=2.0 / 65535 + 1e-4)
 
 
+def test_streaming_pipeline_matches_phases():
+    """generate() auto-selects the fused per-batch program; it must match
+    the 4-phase path (same seeds, same noise-key sequence) to u16 rounding
+    plus compiler-boundary tolerance."""
+    import dataclasses
+
+    runner, cfg = _make_runner(color_correction="wavelet")
+    frames = _frames(t=9, seed=11)
+    streamed = phases.generate(runner, frames, cfg)
+
+    cfg_off = dataclasses.replace(cfg, fused_pipeline="off")
+    runner.cfg = cfg_off
+    runner.invalidate_compiled()
+    phased = phases.generate(runner, frames, cfg_off)
+
+    assert streamed.shape == phased.shape
+    np.testing.assert_allclose(streamed, phased, atol=5e-3)
+
+
+def test_streaming_noise_paths_match_phases():
+    """Input/latent noise use the identical key sequence in both paths."""
+    import dataclasses
+
+    runner, cfg = _make_runner(
+        color_correction="none", input_noise_scale=0.4, latent_noise_scale=0.3
+    )
+    frames = _frames(t=5, seed=13)
+    streamed = phases.generate(runner, frames, cfg)
+    cfg_off = dataclasses.replace(cfg, fused_pipeline="off")
+    runner.cfg = cfg_off
+    runner.invalidate_compiled()
+    phased = phases.generate(runner, frames, cfg_off)
+    np.testing.assert_allclose(streamed, phased, atol=5e-3)
+
+
 def test_temporal_overlap_run():
     runner, cfg = _make_runner(temporal_overlap=2, color_correction="none")
     frames = _frames(t=11, seed=4)
