@@ -377,7 +377,8 @@ def generate_streaming(
     def flush(p):
         nonlocal write
         u16, ori = p
-        final[write : write + ori] = np.asarray(jax.device_get(u16), np.float32) / 65535.0
+        arr = np.asarray(jax.device_get(u16), np.float32)[:ori]  # trim pad
+        final[write : write + ori] = arr / 65535.0
         write += ori
 
     for bi, spec in enumerate(specs):
@@ -387,7 +388,7 @@ def generate_streaming(
         video = batching.prepare_batch(images, spec)
         key_noise, sub = jax.random.split(key_noise)
         fr16 = jnp.asarray(video[..., :3].astype(np.float16))
-        u16 = runner.fused_batch(fr16, spec.ori_length, true_h, true_w, sub, cfg.seed)
+        u16 = runner.fused_batch(fr16, true_h, true_w, sub, cfg.seed)
         if pending is not None:
             flush(pending)
         pending = (u16, spec.ori_length)

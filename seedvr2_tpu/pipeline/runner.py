@@ -285,7 +285,6 @@ class Runner:
     def fused_batch(
         self,
         frames16: jnp.ndarray,  # [T', h_in, w_in, 3] float16 in [0, 1]
-        ori: int,
         true_h: int,
         true_w: int,
         noise_key,
@@ -298,10 +297,12 @@ class Runner:
         (generation_phases.py phases exist for VRAM staging); fusing them
         removes every inter-phase dispatch and the latent round-trips, and
         the color reference is simply ``tv`` inside the program. Returns
-        [ori, true_h, true_w, 3] uint16. Raises on OOM (no retry ladder —
-        the caller falls back to the phase-wise pipeline)."""
+        [T', true_h, true_w, 3] uint16 — the caller trims temporal padding
+        on the host, so a short trailing batch reuses the SAME executable
+        instead of recompiling for its ori_length. Raises on OOM (no retry
+        ladder — the caller falls back to the phase-wise pipeline)."""
         c = self.cfg
-        key = ("fused", frames16.shape, ori, true_h, true_w)
+        key = ("fused", frames16.shape, true_h, true_w)
         fn = self._fused_cache.get(key)
         if fn is None:
             from ..ops import color as color_ops
@@ -338,9 +339,9 @@ class Runner:
                     tile_size=c.decode_tile_size, tile_overlap=c.decode_tile_overlap,
                     tile_batch=c.decode_tile_batch,
                 )
-                x = dec[0, :ori, :true_h, :true_w].astype(jnp.float32)
+                x = dec[0, :, :true_h, :true_w].astype(jnp.float32)
                 if method != "none":
-                    style = tv[:ori, :true_h, :true_w]  # clean (pre-noise) ref
+                    style = tv[:, :true_h, :true_w]  # clean (pre-noise) ref
                     x = color_ops.apply_color_correction(
                         method, x.transpose(0, 3, 1, 2), style.transpose(0, 3, 1, 2)
                     ).transpose(0, 2, 3, 1)
