@@ -145,8 +145,8 @@ def _edge_weights(n: int, ov: int, at_start_edge: bool, at_end_edge: bool) -> np
 
 
 def _scan_tiled(
-    run_group,  # [g, T, th_in, tw_in, Cin] -> [g, T2, th_out, tw_out, Cout]
-    tile_in: jnp.ndarray,  # [n_tiles_padded, T, th_in, tw_in, Cin]
+    run_group,  # [B*g, T, th_in, tw_in, Cin] -> [B*g, T2, th_out, tw_out, Cout]
+    tile_in: jnp.ndarray,  # [B, n_tiles_padded, T, th_in, tw_in, Cin]
     weights: np.ndarray,  # [n_tiles_padded, th_out, tw_out]; 0 for pad tiles
     out_starts: np.ndarray,  # [n_tiles_padded, 2] output-space (y, x)
     out_hw: Tuple[int, int],
@@ -162,38 +162,53 @@ def _scan_tiled(
     by the group count, which is exactly what happens if the groups are
     unrolled side by side under one jit. Remainder groups are padded with a
     duplicate of the last tile carrying zero blend weight, so every group has
-    one shape and padding cannot double-count."""
+    one shape and padding cannot double-count.
+
+    The sample axis B rides INSIDE each scan step ([B*g] through the model):
+    under a "data"-sharded batch (multichip frame-DP segments) every chip
+    works on its own segment's tile k simultaneously — a per-sample Python
+    loop would serialize the mesh instead."""
+    B = tile_in.shape[0]
     g = tile_batch
-    n_groups = len(tile_in) // g
+    n_groups = tile_in.shape[1] // g
     out_shape = jax.eval_shape(
-        run_group, jax.ShapeDtypeStruct((g,) + tuple(tile_in.shape[1:]), tile_in.dtype)
+        run_group,
+        jax.ShapeDtypeStruct((B * g,) + tuple(tile_in.shape[2:]), tile_in.dtype),
     )
     T2, th_out, tw_out, c_out = out_shape.shape[1:]
     H_out, W_out = out_hw
 
     xs = (
-        tile_in.reshape((n_groups, g) + tile_in.shape[1:]),
+        # [n_groups, B, g, T, th, tw, C]: scan over groups; inside a step the
+        # model sees [B*g] with B as the MAJOR axis so a "data"-sharded B
+        # keeps its sharding through the reshape (GSPMD merges a sharded
+        # major dim; a minor-dim sharding would force an all-gather).
+        tile_in.reshape((B, n_groups, g) + tile_in.shape[2:]).transpose(
+            (1, 0, 2) + tuple(range(3, tile_in.ndim + 1))
+        ),
         jnp.asarray(weights.reshape(n_groups, g, th_out, tw_out)),
         jnp.asarray(out_starts.reshape(n_groups, g, 2).astype(np.int32)),
     )
-    acc0 = jnp.zeros((1, T2, H_out, W_out, c_out), jnp.float32)
+    acc0 = jnp.zeros((B, T2, H_out, W_out, c_out), jnp.float32)
     cnt0 = jnp.zeros((1, 1, H_out, W_out, 1), jnp.float32)
 
     def body(carry, inp):
         acc, cnt = carry
-        batch, w, st = inp
+        batch, w, st = inp  # batch: [B, g, T, th, tw, C]
+        batch = batch.reshape((B * g,) + batch.shape[2:])
         if tile_sharding is not None:
             # distribute the group's tiles across the mesh's data axis: on an
             # N-chip slice spatial tiling doubles as tile parallelism
             # (SURVEY §2.3 "VAE tiles sharded across mesh devices")
             batch = jax.lax.with_sharding_constraint(batch, tile_sharding)
-        out = run_group(batch)  # [g, T2, th_out, tw_out, Cout]
+        out = run_group(batch)  # [B*g, T2, th_out, tw_out, Cout]
+        out = out.reshape((B, g) + out.shape[1:])
         for gi in range(g):  # static unroll within one group
             w2 = w[gi][None, None, :, :, None]
             y, x = st[gi, 0], st[gi, 1]
-            upd = out[gi : gi + 1].astype(jnp.float32) * w2
+            upd = out[:, gi].astype(jnp.float32) * w2
             cur = jax.lax.dynamic_slice(
-                acc, (0, 0, y, x, 0), (1, T2, th_out, tw_out, c_out)
+                acc, (0, 0, y, x, 0), (B, T2, th_out, tw_out, c_out)
             )
             acc = jax.lax.dynamic_update_slice(acc, cur + upd, (0, 0, y, x, 0))
             curc = jax.lax.dynamic_slice(cnt, (0, 0, y, x, 0), (1, 1, th_out, tw_out, 1))
@@ -236,14 +251,6 @@ def tiled_encode(
     if H <= tile_size[0] and W <= tile_size[1]:
         return slicing_encode(params, cfg, x)
 
-    if B != 1:
-        outs = [
-            tiled_encode(params, cfg, x[i : i + 1], tile_size, tile_overlap,
-                         tile_batch, tile_sharding)
-            for i in range(B)
-        ]
-        return jnp.concatenate(outs, axis=0)
-
     # Equalized uniform tile grid (see _axis_grid). H/W are /16-padded
     # upstream (DivisiblePad) so pixel-space starts are latent-aligned.
     lt_h, rows = _axis_grid(H_lat, ltmax_h, lo_h)
@@ -263,8 +270,9 @@ def tiled_encode(
     if Hp != H or Wp != W:
         x = jnp.pad(x, ((0, 0), (0, 0), (0, Hp - H), (0, Wp - W), (0, 0)), mode="edge")
     tile_in = jnp.stack(
-        [x[0, :, y * sf : (y + lt_h) * sf, x0 * sf : (x0 + lt_w) * sf] for (y, x0) in tiles]
-    )
+        [x[:, :, y * sf : (y + lt_h) * sf, x0 * sf : (x0 + lt_w) * sf] for (y, x0) in tiles],
+        axis=1,
+    )  # [B, n_tiles, T, th, tw, 3]
     result = _scan_tiled(
         lambda b: slicing_encode(params, cfg, b),
         tile_in,
@@ -302,15 +310,6 @@ def tiled_decode(
     lo_h = max(0, min(ov_h // sf, ltmax_h - 1))
     lo_w = max(0, min(ov_w // sf, ltmax_w - 1))
 
-    if B != 1:
-        # rare path: fall back to per-tile loop semantics via vmap-free calls
-        outs = [
-            tiled_decode(params, cfg, z[i : i + 1], tile_size, tile_overlap,
-                         tile_batch, tile_sharding)
-            for i in range(B)
-        ]
-        return jnp.concatenate(outs, axis=0)
-
     # Equalized uniform tile grid in latent space (see _axis_grid).
     lt_h, rows = _axis_grid(H, ltmax_h, lo_h)
     lt_w, cols = _axis_grid(W, ltmax_w, lo_w)
@@ -326,7 +325,9 @@ def tiled_decode(
         weights.append(np.outer(wh, ww))
     tiles, weights = _pad_tiles(tiles, weights, tile_batch)
 
-    tile_in = jnp.stack([z[0, :, y : y + lt_h, x : x + lt_w] for (y, x) in tiles])
+    tile_in = jnp.stack(
+        [z[:, :, y : y + lt_h, x : x + lt_w] for (y, x) in tiles], axis=1
+    )  # [B, n_tiles, T, lt_h, lt_w, C]
     result = _scan_tiled(
         lambda b: slicing_decode(params, cfg, b),
         tile_in,

@@ -17,7 +17,6 @@ host link.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import List, Optional
 
 import jax
@@ -26,9 +25,8 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..config import PipelineConfig
-from ..ops import color as color_ops
 from ..ops.blending import blend_overlapping_frames
-from ..ops.resize import pipeline_transform, true_target_dims
+from ..ops.resize import true_target_dims
 from ..utils.debug import Debug
 from ..utils.seed import batch_key
 from . import batching
@@ -89,37 +87,15 @@ def generate_multichip(
     write_idx = 0
     for spec in specs:
         batch = np.stack([batching.prepare_batch(segs[i], spec) for i in range(n)])
-        # [n, T', H, W, 3] -> transform on device, sharded over data.
-        tv = jax.device_put(jnp.asarray(batch.astype(np.float16)), shard)
-        tv = jax.vmap(
-            lambda v: pipeline_transform(v.astype(jnp.float32), cfg.resolution, cfg.max_resolution)
-        )(tv)
-        # The color reference must be the CLEAN transformed frames — the
-        # single-chip path stashes them before noising too (phases.py),
-        # and the reference reconstructs them from the raw input.
-        ref_clean = tv if cfg.color_correction != "none" else None
-        if cfg.input_noise_scale > 0:
-            # reference: generation_phases.py:415-431
-            key_noise, sub = jax.random.split(key_noise)
-            noise = jax.random.normal(sub, tv.shape, tv.dtype) * 0.05
-            blend = cfg.input_noise_scale * 0.5
-            tv = tv * (1 - blend) + (tv + noise) * blend
-        tv = tv.astype(jnp.dtype(cfg.compute_dtype))
-
-        latent = runner.vae_encode(tv)  # [n, t, h, w, C]
-        up = runner.upscale(latent, cfg.seed)  # latent_noise handled inside
-        dec = runner.vae_decode(up)  # [n, T', H', W', 3]
-
+        # [n, T', H, W, 3] f16 sharded over data -> whole per-spec chain as
+        # ONE SPMD program (transform/noise/encode/DiT/decode/color/u16 —
+        # Runner.fused_segments); only uint16 frames come back.
+        fr16 = jax.device_put(jnp.asarray(batch.astype(np.float16)), shard)
+        key_noise, sub = jax.random.split(key_noise)
+        u16 = runner.fused_segments(fr16, true_h, true_w, sub, cfg.seed)
         t_real = spec.ori_length
-        dec = dec[:, :t_real, :true_h, :true_w]
-        if cfg.color_correction != "none":
-            # On-device sharded color fix against the resized input
-            # (reference runs it per batch in phase 4); one SPMD program,
-            # one host transfer per spec.
-            ref = ref_clean[:, :t_real, :true_h, :true_w].astype(jnp.float32)
-            dec = _color_sharded(cfg.color_correction, dec.astype(jnp.float32), ref)
-        out_segs[:, write_idx : write_idx + t_real] = np.asarray(
-            jax.device_get(dec), np.float32
+        out_segs[:, write_idx : write_idx + t_real] = (
+            np.asarray(jax.device_get(u16), np.float32)[:, :t_real] / 65535.0
         )
         write_idx += t_real
     if write_idx < target_len - (cfg.batch_size - 1):
@@ -130,7 +106,9 @@ def generate_multichip(
         )
 
     # Assemble segments, blending the seam overlaps
-    # (reference: inference_cli.py:1242-1277).
+    # (reference: inference_cli.py:1242-1277). Segments arrive in [0,1]
+    # (u16-packed on device); Hann blending is affine-invariant so blending
+    # here is identical to blending [-1,1] and renormalizing after.
     final = np.zeros((total, true_h, true_w, 3), np.float32)
     pos = 0
     for i, (s, e) in enumerate(ranges):
@@ -149,7 +127,6 @@ def generate_multichip(
             else:
                 final[s:e] = seg
             pos = e
-    final = np.clip(final / 2.0 + 0.5, 0.0, 1.0)
 
     if is_rgba:
         from .alpha import upscale_alpha_batch
@@ -165,16 +142,3 @@ def generate_multichip(
     if cfg.prepend_frames > 0:
         final = final[cfg.prepend_frames :]
     return final
-
-
-@partial(jax.jit, static_argnames=("method",))
-def _color_sharded(method: str, content_thwc: jnp.ndarray, style_thwc: jnp.ndarray):
-    """[n, T, H, W, 3] pairs -> corrected, vmapped over the segment axis
-    (stays sharded over "data" under GSPMD)."""
-
-    def one(c, s):
-        return color_ops.apply_color_correction(
-            method, c.transpose(0, 3, 1, 2), s.transpose(0, 3, 1, 2)
-        ).transpose(0, 2, 3, 1)
-
-    return jax.vmap(one)(content_thwc, style_thwc)

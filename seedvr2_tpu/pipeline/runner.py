@@ -360,6 +360,86 @@ class Runner:
             self._oom_validated.add(key)
         return out
 
+    def fused_segments(
+        self,
+        frames16: jnp.ndarray,  # [n, T', h_in, w_in, 3] f16, sharded over "data"
+        true_h: int,
+        true_w: int,
+        noise_key,
+        seed: int,
+    ) -> jnp.ndarray:
+        """Multichip sibling of fused_batch: the per-spec chain
+        (transform -> noise -> encode -> DiT -> decode -> color -> u16) as
+        one SPMD program over a "data"-sharded segment batch. All per-phase
+        logic lives in the same traced pieces as single-chip; only 2
+        bytes/px cross the host link. Returns [n, T', true_h, true_w, 3]
+        uint16 in [0, 65535] ([0,1] domain — seam blending is affine, so
+        blending the [0,1] values on host is identical to blending [-1,1]
+        and renormalizing)."""
+        c = self.cfg
+        key = ("fused_seg", frames16.shape, true_h, true_w)
+        fn = self._fused_cache.get(key)
+        if fn is None:
+            from ..ops import color as color_ops
+            from ..ops.resize import pipeline_transform
+
+            compute = jnp.dtype(c.compute_dtype)
+            tshape = jax.eval_shape(
+                lambda v: pipeline_transform(v, c.resolution, c.max_resolution),
+                jax.ShapeDtypeStruct(frames16.shape[1:], jnp.float32),
+            ).shape
+            td, sf = c.vae.temporal_downsample_factor, c.vae.spatial_downsample_factor
+            thw = ((frames16.shape[1] - 1) // td + 1, tshape[1] // sf, tshape[2] // sf)
+            step = self._build_step_body(thw, int(self.text_pos.shape[1]))
+            method = c.color_correction
+
+            def f(dit_params, vae_params, fr16, txt, nkey, rng):
+                tv = jax.vmap(
+                    lambda v: pipeline_transform(
+                        v.astype(jnp.float32), c.resolution, c.max_resolution
+                    )
+                )(fr16)
+                video = tv
+                if c.input_noise_scale > 0:
+                    noise = jax.random.normal(nkey, tv.shape, tv.dtype) * 0.05
+                    blend = c.input_noise_scale * 0.5
+                    video = tv * (1 - blend) + (tv + noise) * blend
+                latent = vae_tiling.vae_encode(
+                    vae_params, c.vae, video.astype(compute),
+                    tiled=c.encode_tiled, tile_size=c.encode_tile_size,
+                    tile_overlap=c.encode_tile_overlap, tile_batch=c.encode_tile_batch,
+                )
+                up = step(dit_params, latent, txt, rng)
+                dec = vae_tiling.vae_decode(
+                    vae_params, c.vae, up, tiled=c.decode_tiled,
+                    tile_size=c.decode_tile_size, tile_overlap=c.decode_tile_overlap,
+                    tile_batch=c.decode_tile_batch,
+                )
+                x = dec[:, :, :true_h, :true_w].astype(jnp.float32)
+                if method != "none":
+                    style = tv[:, :, :true_h, :true_w]  # clean (pre-noise) ref
+
+                    def one(cc, ss):
+                        return color_ops.apply_color_correction(
+                            method, cc.transpose(0, 3, 1, 2), ss.transpose(0, 3, 1, 2)
+                        ).transpose(0, 2, 3, 1)
+
+                    x = jax.vmap(one)(x, style)
+                out01 = jnp.clip(x * 0.5 + 0.5, 0.0, 1.0)
+                return (out01 * 65535.0 + 0.5).astype(jnp.uint16)
+
+            fn = jax.jit(f)
+            self._fused_cache[key] = fn
+        self.ensure_dit_resident()
+        out = fn(
+            self.dit_params, self.vae_params, frames16, self.text_pos,
+            noise_key, batch_key(seed, "dit"),
+        )
+        if key not in self._oom_validated:
+            np.asarray(out[(0,) * out.ndim])
+            self._oom_validated.add(key)
+        return out
+
     # --------------------------- fused finalize ---------------------------- #
 
     def finalize_batch(

@@ -122,6 +122,26 @@ def test_tiled_encode_shape(params):
     assert lat.shape == (1, 2, 8, 8, CFG.latent_channels)
 
 
+def test_tiled_batched_samples_match_per_sample(params):
+    """B>1 rides inside each scan step (so a data-sharded segment batch
+    keeps all chips busy on the same tile group); numerics must equal the
+    per-sample run."""
+    z = jax.random.normal(jax.random.PRNGKey(17), (2, 2, 16, 16, CFG.latent_channels))
+    both = tiling.vae_decode(params, CFG, z, tiled=True, tile_size=(64, 64), tile_overlap=(16, 16))
+    for i in range(2):
+        one = tiling.vae_decode(
+            params, CFG, z[i : i + 1], tiled=True, tile_size=(64, 64), tile_overlap=(16, 16)
+        )
+        np.testing.assert_allclose(np.asarray(both[i]), np.asarray(one[0]), atol=1e-5)
+    x = jax.random.normal(jax.random.PRNGKey(19), (2, 5, 64, 64, 3))
+    enc_both = tiling.vae_encode(params, CFG, x, tiled=True, tile_size=(32, 32), tile_overlap=(8, 8))
+    for i in range(2):
+        enc_one = tiling.vae_encode(
+            params, CFG, x[i : i + 1], tiled=True, tile_size=(32, 32), tile_overlap=(8, 8)
+        )
+        np.testing.assert_allclose(np.asarray(enc_both[i]), np.asarray(enc_one[0]), atol=1e-5)
+
+
 def test_tiled_encode_non_divisible_input(params):
     """Public-API call with H/W not multiples of the spatial factor: tiles
     are edge-padded to the latent grid extent instead of going ragged."""
