@@ -85,6 +85,12 @@ def parse_arguments(argv: Optional[List[str]] = None) -> argparse.Namespace:
         help="reference flag; 'cpu' forces host offload of intermediates, "
              "'none' keeps them on device (default: auto by HBM pressure)",
     )
+    p.add_argument(
+        "--fused_pipeline", type=str, default="auto", choices=["auto", "off"],
+        help="'auto' runs each batch as one fused executable when batches "
+             "are independent; 'off' forces the 4-phase pipeline "
+             "(per-phase progress + OOM tiling ladder)",
+    )
     for flag in [
         "--blocks_to_swap", "--swap_io_components", "--cuda_device",
         "--dit_offload_device", "--vae_offload_device",
@@ -147,6 +153,7 @@ def build_runner(args):
         dit=dit_cfg,
         vae=vae_cfg,
         tensor_offload=offload,
+        fused_pipeline=args.fused_pipeline,
         resolution=args.resolution,
         max_resolution=args.max_resolution,
         batch_size=args.batch_size,
