@@ -137,6 +137,31 @@ def test_streaming_pipeline_matches_phases():
     np.testing.assert_allclose(streamed, phased, atol=5e-3)
 
 
+def test_streaming_oom_falls_back_to_phases(monkeypatch):
+    """RESOURCE_EXHAUSTED inside the fused program must fall back to the
+    4-phase path (which owns the tiling ladder), not crash."""
+    runner, cfg = _make_runner(color_correction="none")
+
+    def boom(*a, **k):
+        raise RuntimeError("RESOURCE_EXHAUSTED: synthetic")
+
+    monkeypatch.setattr(runner, "fused_batch", boom)
+    frames = _frames(t=5, seed=3)
+    out = phases.generate(runner, frames, cfg)
+    assert out.shape[0] == 5 and np.isfinite(out).all()
+
+
+def test_streaming_other_errors_propagate(monkeypatch):
+    runner, cfg = _make_runner(color_correction="none")
+
+    def boom(*a, **k):
+        raise ValueError("not an oom")
+
+    monkeypatch.setattr(runner, "fused_batch", boom)
+    with pytest.raises(ValueError):
+        phases.generate(runner, _frames(t=5, seed=3), cfg)
+
+
 def test_streaming_noise_paths_match_phases():
     """Input/latent noise use the identical key sequence in both paths."""
     import dataclasses
