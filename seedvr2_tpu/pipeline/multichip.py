@@ -92,8 +92,8 @@ def generate_multichip(
         # Runner.fused_segments); only uint16 frames come back.
         fr16 = jax.device_put(jnp.asarray(batch.astype(np.float16)), shard)
         key_noise, sub = jax.random.split(key_noise)
-        u16 = runner.fused_segments(fr16, true_h, true_w, sub, cfg.seed)
         t_real = spec.ori_length
+        u16 = runner.fused_segments(fr16, t_real, true_h, true_w, sub, cfg.seed)
         out_segs[:, write_idx : write_idx + t_real] = (
             np.asarray(jax.device_get(u16), np.float32)[:, :t_real] / 65535.0
         )

@@ -371,6 +371,14 @@ def generate_streaming(
     final = np.zeros((total, true_h, true_w, 3), np.float32)
     key_noise = batch_key(cfg.seed, "input_noise")
     debug.start_timer("streaming_pipeline")
+    if progress_callback:
+        # One fused program covers all four phases per batch. Weighted
+        # consumers (the node layer's PHASE_WEIGHTS) need monotonic phase
+        # reports: mark phases 1-2 done up front, advance through phase 3
+        # per batch, and close with phase 4 — the bar moves 0 -> 45% ->
+        # 95% linearly over batches -> 100%.
+        progress_callback(1, 1, 0, "Phase 1: Encoding")
+        progress_callback(1, 1, 0, "Phase 2: Upscaling")
     write = 0
     pending = None
 
@@ -388,14 +396,17 @@ def generate_streaming(
         video = batching.prepare_batch(images, spec)
         key_noise, sub = jax.random.split(key_noise)
         fr16 = jnp.asarray(video[..., :3].astype(np.float16))
-        u16 = runner.fused_batch(fr16, true_h, true_w, sub, cfg.seed)
+        u16 = runner.fused_batch(fr16, spec.ori_length, true_h, true_w, sub, cfg.seed)
         if pending is not None:
             flush(pending)
         pending = (u16, spec.ori_length)
         debug.end_timer(f"batch_{bi+1}", f"Batch {bi+1}/{len(specs)} (fused)")
         if progress_callback:
             progress_callback(bi + 1, len(specs), spec.ori_length, "Phase 3: Decoding")
-    flush(pending)
+    if pending is not None:
+        flush(pending)
+    if progress_callback:
+        progress_callback(1, 1, 0, "Phase 4: Post-processing")
     debug.end_timer("streaming_pipeline", "Fused streaming pipeline complete")
     return final[:write]
 
@@ -421,7 +432,10 @@ def generate(
         and images.shape[-1] == 3
         and cfg.prepend_frames == 0
         and not cfg.phased_weights
+        and cfg.tensor_offload != "always"  # user forced host offload: the
+        # fused resident program would ignore it and (on tight HBM) OOM
         and getattr(runner, "mesh", None) is None
+        and len(images) > 0
     )
     if can_stream:
         dbg = debug or Debug()

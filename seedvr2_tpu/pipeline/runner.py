@@ -282,9 +282,105 @@ class Runner:
 
     # ----------------------- fused per-batch pipeline ----------------------- #
 
+    # Methods whose statistics span frames (histograms / instance stats):
+    # temporal padding frames would bias them, so the fused program must
+    # trim BEFORE color (like finalize_batch / the reference's phase 4).
+    # "wavelet" is per-pixel and "none" skips color — no trim needed there.
+    _CROSS_FRAME_COLOR = ("lab", "hsv", "wavelet_adaptive", "adain")
+
+    def _trim_ori(self, ori: int, T: int):
+        """Static in-program trim length, or None when host-side trimming is
+        exact (per-pixel color): None keeps ONE executable per batch shape;
+        a static trim recompiles for the (at most one) short trailing
+        batch of a cross-frame-color run."""
+        if ori != T and self.cfg.color_correction in self._CROSS_FRAME_COLOR:
+            return ori
+        return None
+
+    def _make_fused_fn(self, frames_shape, batched: bool, true_h, true_w, trim_ori):
+        """Trace body shared by fused_batch (single clip) and fused_segments
+        (multichip, leading "data"-sharded segment axis)."""
+        c = self.cfg
+        from ..ops import color as color_ops
+        from ..ops.resize import pipeline_transform
+
+        compute = jnp.dtype(c.compute_dtype)
+        per = frames_shape[1:] if batched else frames_shape
+        tshape = jax.eval_shape(
+            lambda v: pipeline_transform(v, c.resolution, c.max_resolution),
+            jax.ShapeDtypeStruct(tuple(per), jnp.float32),
+        ).shape
+        td, sf = c.vae.temporal_downsample_factor, c.vae.spatial_downsample_factor
+        thw = ((per[0] - 1) // td + 1, tshape[1] // sf, tshape[2] // sf)
+        step = self._build_step_body(thw, int(self.text_pos.shape[1]))
+        method = c.color_correction
+
+        def f(dit_params, vae_params, fr16, txt, nkey, rng):
+            transform = lambda v: pipeline_transform(
+                v.astype(jnp.float32), c.resolution, c.max_resolution
+            )
+            tv = jax.vmap(transform)(fr16) if batched else transform(fr16)
+            video = tv
+            if c.input_noise_scale > 0:
+                # reference: generation_phases.py:415-431; noise is drawn in
+                # tv's own shape so streaming matches the phase-wise path
+                # (single clip) and segments match each other (multichip).
+                noise = jax.random.normal(nkey, tv.shape, tv.dtype) * 0.05
+                blend = c.input_noise_scale * 0.5
+                video = tv * (1 - blend) + (tv + noise) * blend
+            vb = video if batched else video[None]
+            tvb = tv if batched else tv[None]
+            latent = vae_tiling.vae_encode(
+                vae_params, c.vae, vb.astype(compute),
+                tiled=c.encode_tiled, tile_size=c.encode_tile_size,
+                tile_overlap=c.encode_tile_overlap, tile_batch=c.encode_tile_batch,
+            )
+            up = step(dit_params, latent, txt, rng)
+            dec = vae_tiling.vae_decode(
+                vae_params, c.vae, up, tiled=c.decode_tiled,
+                tile_size=c.decode_tile_size, tile_overlap=c.decode_tile_overlap,
+                tile_batch=c.decode_tile_batch,
+            )
+            if trim_ori is not None:
+                dec = dec[:, :trim_ori]
+                tvb = tvb[:, :trim_ori]
+            x = dec[:, :, :true_h, :true_w].astype(jnp.float32)
+            if method != "none":
+                style = tvb[:, :, :true_h, :true_w]  # clean (pre-noise) ref
+
+                def one(cc, ss):
+                    return color_ops.apply_color_correction(
+                        method, cc.transpose(0, 3, 1, 2), ss.transpose(0, 3, 1, 2)
+                    ).transpose(0, 2, 3, 1)
+
+                x = jax.vmap(one)(x, style)
+            out01 = jnp.clip(x * 0.5 + 0.5, 0.0, 1.0)
+            u16 = (out01 * 65535.0 + 0.5).astype(jnp.uint16)
+            return u16 if batched else u16[0]
+
+        return f
+
+    def _run_fused(self, key, batched, frames16, true_h, true_w, noise_key, seed, trim_ori):
+        fn = self._fused_cache.get(key)
+        if fn is None:
+            fn = jax.jit(
+                self._make_fused_fn(frames16.shape, batched, true_h, true_w, trim_ori)
+            )
+            self._fused_cache[key] = fn
+        self.ensure_dit_resident()
+        out = fn(
+            self.dit_params, self.vae_params, frames16, self.text_pos,
+            noise_key, batch_key(seed, "dit"),
+        )
+        if key not in self._oom_validated:
+            np.asarray(out[(0,) * out.ndim])  # surface OOM before committing
+            self._oom_validated.add(key)
+        return out
+
     def fused_batch(
         self,
         frames16: jnp.ndarray,  # [T', h_in, w_in, 3] float16 in [0, 1]
+        ori: int,
         true_h: int,
         true_w: int,
         noise_key,
@@ -297,148 +393,37 @@ class Runner:
         (generation_phases.py phases exist for VRAM staging); fusing them
         removes every inter-phase dispatch and the latent round-trips, and
         the color reference is simply ``tv`` inside the program. Returns
-        [T', true_h, true_w, 3] uint16 — the caller trims temporal padding
-        on the host, so a short trailing batch reuses the SAME executable
-        instead of recompiling for its ori_length. Raises on OOM (no retry
-        ladder — the caller falls back to the phase-wise pipeline)."""
-        c = self.cfg
-        key = ("fused", frames16.shape, true_h, true_w)
-        fn = self._fused_cache.get(key)
-        if fn is None:
-            from ..ops import color as color_ops
-            from ..ops.resize import pipeline_transform
-
-            compute = jnp.dtype(c.compute_dtype)
-            tshape = jax.eval_shape(
-                lambda v: pipeline_transform(v, c.resolution, c.max_resolution),
-                jax.ShapeDtypeStruct(frames16.shape, jnp.float32),
-            ).shape
-            td, sf = c.vae.temporal_downsample_factor, c.vae.spatial_downsample_factor
-            thw = ((frames16.shape[0] - 1) // td + 1, tshape[1] // sf, tshape[2] // sf)
-            step = self._build_step_body(thw, int(self.text_pos.shape[1]))
-            method = c.color_correction
-
-            def f(dit_params, vae_params, fr16, txt, nkey, rng):
-                tv = pipeline_transform(
-                    fr16.astype(jnp.float32), c.resolution, c.max_resolution
-                )
-                video = tv
-                if c.input_noise_scale > 0:
-                    # reference: generation_phases.py:415-431
-                    noise = jax.random.normal(nkey, tv.shape, tv.dtype) * 0.05
-                    blend = c.input_noise_scale * 0.5
-                    video = tv * (1 - blend) + (tv + noise) * blend
-                latent = vae_tiling.vae_encode(
-                    vae_params, c.vae, video[None].astype(compute),
-                    tiled=c.encode_tiled, tile_size=c.encode_tile_size,
-                    tile_overlap=c.encode_tile_overlap, tile_batch=c.encode_tile_batch,
-                )
-                up = step(dit_params, latent, txt, rng)
-                dec = vae_tiling.vae_decode(
-                    vae_params, c.vae, up, tiled=c.decode_tiled,
-                    tile_size=c.decode_tile_size, tile_overlap=c.decode_tile_overlap,
-                    tile_batch=c.decode_tile_batch,
-                )
-                x = dec[0, :, :true_h, :true_w].astype(jnp.float32)
-                if method != "none":
-                    style = tv[:, :true_h, :true_w]  # clean (pre-noise) ref
-                    x = color_ops.apply_color_correction(
-                        method, x.transpose(0, 3, 1, 2), style.transpose(0, 3, 1, 2)
-                    ).transpose(0, 2, 3, 1)
-                out01 = jnp.clip(x * 0.5 + 0.5, 0.0, 1.0)
-                return (out01 * 65535.0 + 0.5).astype(jnp.uint16)
-
-            fn = jax.jit(f)
-            self._fused_cache[key] = fn
-        self.ensure_dit_resident()
-        out = fn(
-            self.dit_params, self.vae_params, frames16, self.text_pos,
-            noise_key, batch_key(seed, "dit"),
+        [T' or ori, true_h, true_w, 3] uint16 — temporal padding is trimmed
+        in-program only when the color method's statistics span frames
+        (see _trim_ori), otherwise on the host so a short trailing batch
+        reuses the same executable. Raises on OOM (no retry ladder — the
+        caller falls back to the phase-wise pipeline)."""
+        trim = self._trim_ori(ori, frames16.shape[0])
+        key = ("fused", frames16.shape, true_h, true_w, trim)
+        return self._run_fused(
+            key, False, frames16, true_h, true_w, noise_key, seed, trim
         )
-        if key not in self._oom_validated:
-            np.asarray(out[(0,) * out.ndim])  # surface OOM before committing
-            self._oom_validated.add(key)
-        return out
 
     def fused_segments(
         self,
         frames16: jnp.ndarray,  # [n, T', h_in, w_in, 3] f16, sharded over "data"
+        ori: int,
         true_h: int,
         true_w: int,
         noise_key,
         seed: int,
     ) -> jnp.ndarray:
-        """Multichip sibling of fused_batch: the per-spec chain
-        (transform -> noise -> encode -> DiT -> decode -> color -> u16) as
-        one SPMD program over a "data"-sharded segment batch. All per-phase
-        logic lives in the same traced pieces as single-chip; only 2
-        bytes/px cross the host link. Returns [n, T', true_h, true_w, 3]
-        uint16 in [0, 65535] ([0,1] domain — seam blending is affine, so
-        blending the [0,1] values on host is identical to blending [-1,1]
-        and renormalizing)."""
-        c = self.cfg
-        key = ("fused_seg", frames16.shape, true_h, true_w)
-        fn = self._fused_cache.get(key)
-        if fn is None:
-            from ..ops import color as color_ops
-            from ..ops.resize import pipeline_transform
-
-            compute = jnp.dtype(c.compute_dtype)
-            tshape = jax.eval_shape(
-                lambda v: pipeline_transform(v, c.resolution, c.max_resolution),
-                jax.ShapeDtypeStruct(frames16.shape[1:], jnp.float32),
-            ).shape
-            td, sf = c.vae.temporal_downsample_factor, c.vae.spatial_downsample_factor
-            thw = ((frames16.shape[1] - 1) // td + 1, tshape[1] // sf, tshape[2] // sf)
-            step = self._build_step_body(thw, int(self.text_pos.shape[1]))
-            method = c.color_correction
-
-            def f(dit_params, vae_params, fr16, txt, nkey, rng):
-                tv = jax.vmap(
-                    lambda v: pipeline_transform(
-                        v.astype(jnp.float32), c.resolution, c.max_resolution
-                    )
-                )(fr16)
-                video = tv
-                if c.input_noise_scale > 0:
-                    noise = jax.random.normal(nkey, tv.shape, tv.dtype) * 0.05
-                    blend = c.input_noise_scale * 0.5
-                    video = tv * (1 - blend) + (tv + noise) * blend
-                latent = vae_tiling.vae_encode(
-                    vae_params, c.vae, video.astype(compute),
-                    tiled=c.encode_tiled, tile_size=c.encode_tile_size,
-                    tile_overlap=c.encode_tile_overlap, tile_batch=c.encode_tile_batch,
-                )
-                up = step(dit_params, latent, txt, rng)
-                dec = vae_tiling.vae_decode(
-                    vae_params, c.vae, up, tiled=c.decode_tiled,
-                    tile_size=c.decode_tile_size, tile_overlap=c.decode_tile_overlap,
-                    tile_batch=c.decode_tile_batch,
-                )
-                x = dec[:, :, :true_h, :true_w].astype(jnp.float32)
-                if method != "none":
-                    style = tv[:, :, :true_h, :true_w]  # clean (pre-noise) ref
-
-                    def one(cc, ss):
-                        return color_ops.apply_color_correction(
-                            method, cc.transpose(0, 3, 1, 2), ss.transpose(0, 3, 1, 2)
-                        ).transpose(0, 2, 3, 1)
-
-                    x = jax.vmap(one)(x, style)
-                out01 = jnp.clip(x * 0.5 + 0.5, 0.0, 1.0)
-                return (out01 * 65535.0 + 0.5).astype(jnp.uint16)
-
-            fn = jax.jit(f)
-            self._fused_cache[key] = fn
-        self.ensure_dit_resident()
-        out = fn(
-            self.dit_params, self.vae_params, frames16, self.text_pos,
-            noise_key, batch_key(seed, "dit"),
+        """Multichip sibling of fused_batch: the per-spec chain as one SPMD
+        program over a "data"-sharded segment batch; only 2 bytes/px cross
+        the host link. Returns [n, T' or ori, true_h, true_w, 3] uint16 in
+        [0, 65535] ([0,1] domain — seam blending is affine, so blending the
+        [0,1] values on host is identical to blending [-1,1] and
+        renormalizing)."""
+        trim = self._trim_ori(ori, frames16.shape[1])
+        key = ("fused_seg", frames16.shape, true_h, true_w, trim)
+        return self._run_fused(
+            key, True, frames16, true_h, true_w, noise_key, seed, trim
         )
-        if key not in self._oom_validated:
-            np.asarray(out[(0,) * out.ndim])
-            self._oom_validated.add(key)
-        return out
 
     # --------------------------- fused finalize ---------------------------- #
 
@@ -516,6 +501,12 @@ class Runner:
     def ensure_dit_resident(self) -> None:
         if self.dit_params is None and self._dit_host is not None:
             self.dit_params = jax.tree.map(jnp.asarray, self._dit_host)
+        if self.dit_params is None:
+            raise RuntimeError(
+                "Runner weights were discarded (cache eviction via "
+                "discard_weights); reload the model through the loader "
+                "instead of reusing the evicted runner"
+            )
 
     def release_dit(self) -> None:
         """Drop DiT weights from HBM between phase 2 runs (the reference's

@@ -58,10 +58,11 @@ def draw_for_config(frames01: np.ndarray, cfg, which: str) -> np.ndarray:
         return frames01
     ts = cfg.encode_tile_size if which == "encode" else cfg.decode_tile_size
     to = cfg.encode_tile_overlap if which == "encode" else cfg.decode_tile_overlap
-    bounds = tile_boundaries(
-        frames01.shape[1], frames01.shape[2], ts, to,
-        cfg.vae.spatial_downsample_factor,
-    )
+    # The VAE ran on the DivisiblePad(16) dims, not the trimmed output dims —
+    # compute the grid there so the drawn seams sit exactly where tiles ran.
+    hp = -(-frames01.shape[1] // 16) * 16
+    wp = -(-frames01.shape[2] // 16) * 16
+    bounds = tile_boundaries(hp, wp, ts, to, cfg.vae.spatial_downsample_factor)
     return draw_tile_boundaries(frames01, bounds)
 
 

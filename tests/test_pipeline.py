@@ -137,6 +137,22 @@ def test_streaming_pipeline_matches_phases():
     np.testing.assert_allclose(streamed, phased, atol=5e-3)
 
 
+def test_streaming_cross_frame_color_trims_before_stats():
+    """Cross-frame color stats (lab histograms) must run on REAL frames
+    only: a padded trailing batch must match the phase-wise path, which
+    trims before color (reference phase-4 semantics)."""
+    import dataclasses
+
+    runner, cfg = _make_runner(color_correction="lab")
+    frames = _frames(t=7, seed=23)  # batch_size 5 -> trailing ori<5 batch
+    streamed = phases.generate(runner, frames, cfg)
+    cfg_off = dataclasses.replace(cfg, fused_pipeline="off")
+    runner.cfg = cfg_off
+    runner.invalidate_compiled()
+    phased = phases.generate(runner, frames, cfg_off)
+    np.testing.assert_allclose(streamed, phased, atol=5e-3)
+
+
 def test_streaming_oom_falls_back_to_phases(monkeypatch):
     """RESOURCE_EXHAUSTED inside the fused program must fall back to the
     4-phase path (which owns the tiling ladder), not crash."""
