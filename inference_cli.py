@@ -63,6 +63,12 @@ def parse_arguments(argv: Optional[List[str]] = None) -> argparse.Namespace:
                         "measured shape; per-shape XLA fallback on compile failure)")
     p.add_argument("--attention_mode", type=str, default="fused",
                    choices=["fused", "pallas", "xla", "sdpa", "flash_attn_2", "flash_attn_3", "sageattn_2", "sageattn_3"])
+    p.add_argument(
+        "--output_bits", type=int, default=16, choices=[8, 16],
+        help="device->host frame packing: 16 feeds the 10-bit x265/PNG16 "
+             "pipeline losslessly; 8 halves the output transfer for 8-bit "
+             "sinks (TPU extension; the reference always transfers fp32)",
+    )
     p.add_argument("--debug", action="store_true")
     p.add_argument("--resume", action="store_true", help="resume an interrupted chunked run")
     p.add_argument(
@@ -170,6 +176,7 @@ def build_runner(args):
         decode_tiled=args.vae_decode_tiled,
         decode_tile_size=_pair(args.vae_decode_tile_size),
         decode_tile_overlap=_pair(args.vae_decode_tile_overlap),
+        output_bits=args.output_bits,
     )
     runner = load_runner(
         dit_model=dit_name,

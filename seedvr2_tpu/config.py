@@ -231,6 +231,10 @@ class PipelineConfig:
     # noise level applied to SR condition latent (cfg condition.noise_scale=0.25
     # in reference yaml is folded into aug-noise at generation_phases.py:683)
     compute_dtype: str = "bfloat16"
+    # Output-frame packing for the device->host transfer: 16 keeps the
+    # 10-bit x265 / PNG16 pipeline lossless; 8 halves the dominant output
+    # transfer for 8-bit sinks (u8 mp4 preview, 8-bit PNG).
+    output_bits: int = 16
     # "auto": when batches are independent (temporal_overlap=0, RGB, no
     # prepend/phased weights/mesh) run each batch as ONE fused executable
     # (transform->encode->DiT->decode->finalize, Runner.fused_batch);

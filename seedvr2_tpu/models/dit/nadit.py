@@ -71,6 +71,51 @@ class AttnPlans(NamedTuple):
         return self.plain if i % 2 == 0 else self.shifted
 
 
+def plan_device_args(plans: AttnPlans) -> Dict:
+    """Plan constants as a device-array pytree to pass INTO jit as an
+    ARGUMENT (``nadit_forward(..., plan_args=...)``).
+
+    Without this, the gather indices and rope angle tables embed into every
+    compiled program as literals — ~22MB at 1080p and ~90MB at 4K, which
+    (a) bloats every per-shape executable and (b) trips remote compile
+    helpers that cap program size (observed HTTP 413 on this environment's
+    tunnel). Upload once per shape bucket, reuse across steps/executables."""
+
+    def one(lp: LayerPlan):
+        d = {
+            "index": jnp.asarray(lp.plan.index.reshape(-1)),
+            "inverse": jnp.asarray(lp.plan.inverse),
+            "valid": jnp.asarray(lp.plan.valid),
+        }
+        if lp.vid_angles is not None:
+            d["vid_angles"] = jnp.asarray(lp.vid_angles)
+        if lp.txt_angles is not None:
+            d["txt_angles"] = jnp.asarray(lp.txt_angles)
+        return d
+
+    return {"plain": one(plans.plain), "shifted": one(plans.shifted)}
+
+
+def _plan_arrays(lp: LayerPlan, args: Optional[Dict]):
+    """(index, inverse, valid, vid_angles, txt_angles) as jnp values, from
+    the argument pytree when given, else embedded from the host plan."""
+    if args is not None:
+        return (
+            args["index"],
+            args["inverse"],
+            args["valid"],
+            args.get("vid_angles"),
+            args.get("txt_angles"),
+        )
+    return (
+        jnp.asarray(lp.plan.index.reshape(-1)),
+        jnp.asarray(lp.plan.inverse),
+        jnp.asarray(lp.plan.valid),
+        None if lp.vid_angles is None else jnp.asarray(lp.vid_angles),
+        None if lp.txt_angles is None else jnp.asarray(lp.txt_angles),
+    )
+
+
 def _rope_angles_for_plan(
     cfg: DiTConfig, plan: WindowPlan, txt_len: int
 ) -> Tuple[Optional[np.ndarray], Optional[np.ndarray]]:
@@ -319,6 +364,7 @@ def _window_attention(
     txt: jnp.ndarray,  # [B, Lt, D]
     lp: LayerPlan,
     has_txt_weights: bool,
+    pa: Optional[Dict] = None,  # plan_device_args entry for this layer
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     B, L, D = vid.shape
     Lt = txt.shape[1]
@@ -326,6 +372,7 @@ def _window_attention(
     inner = cfg.inner_dim
     plan = lp.plan
     nW, mL = plan.n_win, plan.max_len
+    idx, inv, valid_w, vid_ang, txt_ang = _plan_arrays(lp, pa)
 
     def qkv_proj(pq, x):
         if "w_q" in pq:
@@ -342,7 +389,6 @@ def _window_attention(
 
     # Window partition (static gather). Under SP this gather is where GSPMD
     # inserts the seq<->window all-to-all.
-    idx = jnp.asarray(plan.index.reshape(-1))  # [nW*mL]
     vid_qkv_w = jnp.take(vid_qkv, idx, axis=1).reshape(B, nW, mL, 3, H, hd)
     vid_qkv_w = constrain_windows(vid_qkv_w)
     txt_qkv = txt_qkv.reshape(B, Lt, 3, H, hd)
@@ -359,12 +405,12 @@ def _window_attention(
 
     # RoPE with window-local coordinates. Angles: [nW, mL, rot] -> broadcast
     # over batch and heads ([B, nW, mL, H, hd] rotates last dim).
-    if lp.vid_angles is not None:
-        ang = jnp.asarray(lp.vid_angles)[None, :, :, None, :]  # [1,nW,mL,1,rot]
+    if vid_ang is not None:
+        ang = vid_ang[None, :, :, None, :]  # [1,nW,mL,1,rot]
         vq = apply_rotary(vq, ang)
         vk = apply_rotary(vk, ang)
-    if lp.txt_angles is not None and Lt > 0:
-        tang = jnp.asarray(lp.txt_angles)[None, :, None, :]  # [1,Lt,1,rot]
+    if txt_ang is not None and Lt > 0:
+        tang = txt_ang[None, :, None, :]  # [1,Lt,1,rot]
         tq = apply_rotary(tq, tang)
         tk = apply_rotary(tk, tang)
 
@@ -377,8 +423,9 @@ def _window_attention(
     k = constrain_attn_io(with_txt(vk, tk).reshape(B * nW, mL + Lt, H, hd))
     v = constrain_attn_io(with_txt(vv, tv).reshape(B * nW, mL + Lt, H, hd))
 
-    valid = np.concatenate([plan.valid, np.ones((nW, Lt), bool)], axis=1)  # [nW, mL+Lt]
-    kv_valid = jnp.asarray(valid)
+    kv_valid = jnp.concatenate(
+        [valid_w, jnp.ones((nW, Lt), bool)], axis=1
+    )  # [nW, mL+Lt]
     kv_valid = jnp.broadcast_to(kv_valid[None], (B, nW, mL + Lt)).reshape(B * nW, mL + Lt)
 
     out = attention(q, k, v, kv_valid=kv_valid)  # [B*nW, mL+Lt, H, hd]
@@ -386,7 +433,6 @@ def _window_attention(
 
     vid_out_w = out[:, :, :mL].reshape(B, nW * mL, inner)
     # Scatter windows back to token order (exact partition -> pure gather).
-    inv = jnp.asarray(plan.inverse)
     vid_out = constrain_tokens(jnp.take(vid_out_w, inv, axis=1))  # [B, L, inner]
 
     # Text coalescing: average over windows (reference: na.py:396-417).
@@ -403,6 +449,7 @@ def _window_attention_fused(
     vid: jnp.ndarray,  # [B, L, D]
     txt: jnp.ndarray,  # [B, Lt, D]
     lp: LayerPlan,
+    pa: Optional[Dict] = None,  # plan_device_args entry for this layer
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Head-major path feeding ops/fused_window_attention.py: every layout
     change rides a GEMM (projection in/out), rope+mask+softmax live in the
@@ -421,6 +468,7 @@ def _window_attention_fused(
     H, hd = cfg.heads, cfg.head_dim
     plan = lp.plan
     nW, mL = plan.n_win, plan.max_len
+    idx, inv, valid, vid_ang, txt_ang = _plan_arrays(lp, pa)
 
     def qkv_hm(pq, x):
         w = pq["w_q"].astype(x.dtype) if "w_q" in pq else pq["w"].astype(x.dtype)
@@ -457,18 +505,11 @@ def _window_attention_fused(
             axis=1,
         )
 
-    idx = jnp.asarray(plan.index.reshape(-1))
     vid_win = jnp.take(vid_qkv, idx, axis=3).reshape(B, 3, H, nW, mL, hd)
 
-    if lp.vid_angles is not None:
-        vang = jnp.asarray(lp.vid_angles)
-    else:
-        vang = jnp.zeros((nW, mL, hd), jnp.float32)
+    vang = vid_ang if vid_ang is not None else jnp.zeros((nW, mL, hd), jnp.float32)
     rope_txt = lp.txt_angles is not None and Lt > 0
-    tang = (
-        jnp.asarray(lp.txt_angles) if rope_txt else jnp.zeros((Lt, hd), jnp.float32)
-    )
-    valid = jnp.asarray(plan.valid)
+    tang = txt_ang if rope_txt else jnp.zeros((Lt, hd), jnp.float32)
 
     hints = current_hints()
     if hints is not None:
@@ -482,7 +523,6 @@ def _window_attention_fused(
     else:
         ovid, otxt = fused_window_attention(vid_win, txt_qkv, vang, tang, valid, rope_txt)
     # scatter windows back (token order) in head-major layout
-    inv = jnp.asarray(plan.inverse)
     vid_tok = jnp.take(ovid.reshape(B, H, nW * mL, hd), inv, axis=2)  # [B,H,L,hd]
     txt_tok = jnp.mean(otxt.astype(jnp.float32), axis=2).astype(otxt.dtype)  # [B,H,Lt,hd]
 
@@ -509,6 +549,7 @@ def block_forward(
     txt: jnp.ndarray,
     emb_slices: jnp.ndarray,
     lp: LayerPlan,
+    pa: Optional[Dict] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One NaMMSRTransformerBlock (reference: dit_3b/nablocks/mmsr_block.py:84-128)."""
     vid_only = cfg.vid_only(layer)
@@ -526,9 +567,9 @@ def block_forward(
     # compatibility.py:286-384); under seq/tensor sharding it runs inside
     # shard_map (ops/fused_window_attention.py:fused_window_attention_sharded).
     if get_attention_backend() == "fused":
-        vid_a, txt_a = _window_attention_fused(p["attn"], cfg, vid_a, txt_a, lp)
+        vid_a, txt_a = _window_attention_fused(p["attn"], cfg, vid_a, txt_a, lp, pa)
     else:
-        vid_a, txt_a = _window_attention(p["attn"], cfg, vid_a, txt_a, lp, True)
+        vid_a, txt_a = _window_attention(p["attn"], cfg, vid_a, txt_a, lp, True, pa)
     vid_a = _ada(p["ada"], "vid", vid_a, emb_slices, 0, "out")
     if not vid_only:
         txt_a = _ada(p["ada"], "txt", txt_a, emb_slices, 0, "out")
@@ -547,6 +588,144 @@ def block_forward(
         txt_m = _ada(p["ada"], "txt", txt_m, emb_slices, 1, "out")
         txt = txt + txt_m
     return vid, txt
+
+
+# --------------------------------------------------------------------------- #
+# Layer-scan execution (stacked weights)
+# --------------------------------------------------------------------------- #
+
+
+def layer_exec_plan(cfg: DiTConfig):
+    """Static execution plan: maximal even-aligned runs of structurally
+    uniform layers become ``("scan", start, n_pairs)`` items (one lax.scan
+    over (plain, shifted) window-plan pairs); leftovers are
+    ``("layer", i)``. 7B (uniform 36 layers) -> one scan of 18 pairs; 3B ->
+    scan(0,5) separate-weight pairs + scan(10,10) shared pairs + layers
+    30, 31 unrolled (layer 31 is vid_only).
+
+    Why: unrolling 32-36 layers into one program makes the executable and
+    its argument list scale with depth — ~1150 param leaves and a program
+    the remote compile helper chokes on at 4K shapes. Scanning compiles ONE
+    pair body per segment: programs shrink ~15x, weights become a handful
+    of stacked leaves, and window-plan constants embed once."""
+    keys = [(cfg.shared_weights(i), cfg.vid_only(i)) for i in range(cfg.num_layers)]
+    plan = []
+    i = 0
+    while i < cfg.num_layers:
+        if i % 2 == 0:
+            j = i
+            while j + 1 < cfg.num_layers and keys[j] == keys[i] and keys[j + 1] == keys[i]:
+                j += 2
+            n_pairs = (j - i) // 2
+            if n_pairs >= 2:
+                plan.append(("scan", i, n_pairs))
+                i = j
+                continue
+        plan.append(("layer", i))
+        i += 1
+    return plan
+
+
+def _stack_trees_consuming(trees: List[Params]) -> Params:
+    """Stack matching leaves of per-layer trees along a new leading axis,
+    deleting source references as they are consumed so peak extra memory is
+    one stacked leaf group, not a full second copy of the weights (matters
+    on a 16GB chip holding 8.6GB of int8 7B weights)."""
+
+    def rec(nodes):
+        if isinstance(nodes[0], dict):
+            out = {}
+            for k in list(nodes[0].keys()):
+                sub = [n[k] for n in nodes]
+                out[k] = rec(sub)
+                for n in nodes:
+                    n.pop(k, None)
+            return out
+        return jnp.stack(nodes)
+
+    return rec(trees)
+
+
+def stack_blocks(params: Params, cfg: DiTConfig) -> Params:
+    """Convert ``params["blocks"]`` (list of per-layer trees) to the
+    scanned layout consumed by nadit_forward:
+
+    - ``blocks_scan``: one ``{"even": tree[n,...], "odd": tree[n,...]}``
+      per ("scan", start, n) item of layer_exec_plan;
+    - ``blocks_rest``: the unrolled leftovers keyed by str(layer).
+
+    CONSUMES the input blocks' leaves (dicts are emptied in place) to stay
+    within HBM; callers must treat the input tree as dead afterwards.
+    No-op if already stacked."""
+    if "blocks_scan" in params:
+        return params
+    blocks = params["blocks"]
+    out = {k: v for k, v in params.items() if k != "blocks"}
+    segs = []
+    rest: Dict[str, Params] = {}
+    for item in layer_exec_plan(cfg):
+        if item[0] == "layer":
+            rest[str(item[1])] = blocks[item[1]]
+        else:
+            start, n = item[1], item[2]
+            segs.append(
+                {
+                    "even": _stack_trees_consuming([blocks[start + 2 * k] for k in range(n)]),
+                    "odd": _stack_trees_consuming([blocks[start + 2 * k + 1] for k in range(n)]),
+                }
+            )
+    out["blocks_scan"] = segs
+    out["blocks_rest"] = rest
+    return out
+
+
+def _run_layers(
+    params: Params,
+    cfg: DiTConfig,
+    x: jnp.ndarray,
+    t_emb: jnp.ndarray,
+    emb_slices: jnp.ndarray,
+    plans: "AttnPlans",
+    plan_args: Optional[Dict] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    def pa_for(i):
+        if plan_args is None:
+            return None
+        return plan_args["plain"] if i % 2 == 0 else plan_args["shifted"]
+
+    if "blocks_scan" not in params:
+        for i, bp in enumerate(params["blocks"]):
+            x, t_emb = block_forward(
+                bp, cfg, i, x, t_emb, emb_slices, plans.for_layer(i), pa_for(i)
+            )
+        return x, t_emb
+
+    scan_iter = iter(params["blocks_scan"])
+    for item in layer_exec_plan(cfg):
+        if item[0] == "layer":
+            i = item[1]
+            bp = params["blocks_rest"][str(i)]
+            x, t_emb = block_forward(
+                bp, cfg, i, x, t_emb, emb_slices, plans.for_layer(i), pa_for(i)
+            )
+            continue
+        start, _n = item[1], item[2]
+        seg = next(scan_iter)
+        lp_even = plans.for_layer(start)  # plain (start is even)
+        lp_odd = plans.for_layer(start + 1)  # shifted
+
+        def body(carry, seg_slice, start=start, lp_even=lp_even, lp_odd=lp_odd):
+            cx, ct = carry
+            cx, ct = block_forward(
+                seg_slice["even"], cfg, start, cx, ct, emb_slices, lp_even, pa_for(start)
+            )
+            cx, ct = block_forward(
+                seg_slice["odd"], cfg, start + 1, cx, ct, emb_slices, lp_odd, pa_for(start + 1)
+            )
+            return (cx, ct), None
+
+        (x, t_emb), _ = jax.lax.scan(body, (x, t_emb), seg)
+    return x, t_emb
 
 
 # --------------------------------------------------------------------------- #
@@ -587,11 +766,14 @@ def nadit_forward(
     txt: jnp.ndarray,  # [B, Lt, txt_in_dim]
     timestep: jnp.ndarray,  # [B]
     plans: AttnPlans,
+    plan_args: Optional[Dict] = None,  # plan_device_args(plans)
 ) -> jnp.ndarray:
     """Full NaDiT forward. Returns [B, T, H, W, vid_out_channels].
 
     `plans` must be built with build_attn_plans(cfg, patched_thw, txt_len)
-    where patched_thw = (T, H // ph, W // pw).
+    where patched_thw = (T, H // ph, W // pw). Pass ``plan_args``
+    (plan_device_args(plans)) through the enclosing jit's arguments to keep
+    index/angle tables out of the compiled program's constants.
     """
     B, T, H, W, _ = vid.shape
     pt, ph, pw = cfg.patch_size
@@ -599,12 +781,11 @@ def nadit_forward(
     assert plans.thw == thw, (plans.thw, thw)
 
     x = constrain_tokens(patchify(params["vid_in"], cfg, vid))  # [B, L, D]
-    t_emb = txt @ params["txt_in"]["w"].astype(txt.dtype) + params["txt_in"]["b"].astype(txt.dtype)
+    t_emb = _apply_linear(params["txt_in"], txt)
     emb = time_embedding(params["emb_in"], cfg, timestep, x.dtype)  # [B, 6D]
     emb_slices = _ada_slices(emb, cfg.vid_dim)
 
-    for i, bp in enumerate(params["blocks"]):
-        x, t_emb = block_forward(bp, cfg, i, x, t_emb, emb_slices, plans.for_layer(i))
+    x, t_emb = _run_layers(params, cfg, x, t_emb, emb_slices, plans, plan_args)
 
     if cfg.vid_out_norm:
         x = rms_norm(x, params["vid_out_norm"]["w"], cfg.norm_eps)

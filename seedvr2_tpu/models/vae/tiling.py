@@ -92,8 +92,21 @@ def slicing_decode(params, cfg: VAEConfig, z: jnp.ndarray) -> jnp.ndarray:
 
 
 def _cosine_ramp(n: int) -> np.ndarray:
+    """Reference-shaped cosine ramp with strictly positive endpoints.
+
+    Shape matches the reference's linspace(0,1) cosine fade (reference:
+    attn_video_vae.py:1588-1610) so tiled outputs stay parity-close
+    (test_vae_tiled_encode_parity). The endpoints are clamped away from
+    exact 0/1 because _axis_grid rounds interior starts independently: one
+    seam's actual overlap can be ``overlap - 1``, and with endpoint-zero
+    ramps both adjacent tiles could carry ~0 weight on the same column —
+    acc/max(cnt, eps) then produced a dark seam line. With the clamp the
+    worst case is a proper (tiny-weight) average of the two tiles, and the
+    parity deviation is <= eps * inter-tile disagreement
+    (tests/test_vae.py::test_axis_weights_never_vanish)."""
     t = np.linspace(0.0, 1.0, n, dtype=np.float32)
-    return 0.5 - 0.5 * np.cos(t * np.pi)
+    ramp = 0.5 - 0.5 * np.cos(t * np.pi)
+    return np.clip(ramp, 2e-3, 1.0 - 2e-3)
 
 
 def _tile_starts(total: int, tile: int, stride: int) -> list:

@@ -45,6 +45,40 @@ def set_conv_backend(name: str) -> None:
     _ENABLED = name == "pallas"
 
 
+def compile_fallback(e: Exception) -> bool:
+    """Backend-compile-failure escape hatch for the jitted-call layer.
+
+    The try/except inside causal_conv3d catches only trace-time errors; a
+    Mosaic/backend failure surfaces when the ENCLOSING jit compiles (e.g. a
+    fused whole-pipeline program embedding many pallas_calls that a remote
+    compile helper rejects). Callers that jit programs containing this
+    kernel (Runner._with_oom_fallback, phases.generate) call this on a
+    non-OOM error: if it looks like a compile failure while the pallas path
+    was on, the path is disabled and True is returned — the caller drops its
+    compiled-fn caches and retries once via the XLA conv lowering. A second
+    failure re-raises, so real errors stay visible."""
+    global _ENABLED
+    if not _ENABLED:
+        return False
+    msg = str(e)
+    if "RESOURCE_EXHAUSTED" in msg:
+        return False
+    markers = (
+        "Mosaic", "mosaic", "tpu_compile_helper", "pallas", "Pallas",
+        "INTERNAL", "UNIMPLEMENTED", "INVALID_ARGUMENT", "compil",
+    )
+    if not any(m in msg for m in markers):
+        return False
+    _ENABLED = False
+    import warnings
+
+    warnings.warn(
+        f"pallas conv3d disabled after enclosing-jit compile failure: "
+        f"{type(e).__name__}: {msg[:200]}"
+    )
+    return True
+
+
 def _kernel(x_ref, w_ref, b_ref, o_ref, acc_ref, *, th: int, tw: int, cin: int):
     """x_ref: [3, th+2, tw+8, Cin] halo'd slab (Element-blocked);
     w_ref: [3,3,3,Cin,co]; o_ref: [1, th, tw, co]."""

@@ -88,3 +88,44 @@ def quantize_dit_params(params, min_size: int = None) -> Dict:
 
 def tree_bytes(params) -> int:
     return sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(params))
+
+
+def synthetic_quantized_dit_params(cfg, seed: int = 0, dense_dtype="bfloat16"):
+    """Random param tree with the exact int8-quantized structure, built
+    directly with numpy (no full-precision tree ever materializes).
+
+    For benches and dryruns only: weight VALUES don't change the math cost,
+    and init+quantize of a real 7B tree costs minutes of host time and 2x
+    the RAM. Leaves match quantize_dit_params(init_params(cfg)) exactly in
+    shape/dtype (asserted in tests/test_quant.py)."""
+    from ..models.dit.nadit import init_params
+
+    dense = jax.eval_shape(
+        lambda k: init_params(cfg, k, dtype=jnp.dtype(dense_dtype)),
+        jax.random.PRNGKey(0),
+    )
+    rng = np.random.RandomState(seed)
+
+    def dense_leaf(s):
+        return (rng.rand(*s.shape).astype(np.float32) * 0.02 - 0.01).astype(
+            np.dtype(s.dtype)
+        )
+
+    def walk(tree, quantize):
+        if isinstance(tree, dict):
+            w = tree.get("w")
+            if quantize and w is not None and hasattr(w, "ndim") and w.ndim >= 2 and int(np.prod(w.shape)) >= _QUANT_MIN_SIZE:
+                out = {k: walk(v, quantize) for k, v in tree.items() if k != "w"}
+                out["w_q"] = rng.randint(-100, 100, w.shape).astype(np.int8)
+                sshape = w.shape[1:] if w.ndim == 3 else (w.shape[-1],)
+                out["w_s"] = np.full(sshape, 2e-4, np.float32)
+                return out
+            return {k: walk(v, quantize) for k, v in tree.items()}
+        if isinstance(tree, list):
+            return [walk(v, quantize) for v in tree]
+        return dense_leaf(tree)
+
+    # blocks only, like quantize_dit_params: patch/emb IO stays dense
+    out = {k: walk(v, False) for k, v in dense.items() if k != "blocks"}
+    out["blocks"] = [walk(b, True) for b in dense["blocks"]]
+    return out

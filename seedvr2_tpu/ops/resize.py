@@ -10,8 +10,9 @@ F.interpolate(..., antialias=True), alpha_upscaling.py:341-349). We
 reproduce that exactly: PIL-style separable resample weights (support
 scaled by the downscale factor, boundary taps renormalized) precomputed on
 host per (in, out) pair and applied as two dense matmuls — a layout that
-rides the MXU instead of gather-heavy convolution. Verified bit-close vs
-torch in tests/test_reference_parity.py.
+rides the MXU instead of gather-heavy convolution. Verified vs torch
+F.interpolate(mode='bicubic', antialias=True) across down/up/odd scale
+factors in tests/test_reference_parity.py::TestResizeParity.
 """
 
 from __future__ import annotations

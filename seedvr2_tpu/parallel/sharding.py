@@ -20,19 +20,30 @@ from .mesh import AXIS_TENSOR
 
 
 def _dit_leaf_spec(path: str, leaf) -> P:
-    """Partition spec for a DiT param leaf, keyed on its flat path."""
-    if leaf.ndim < 2:
-        return P()  # biases, norms, ada vectors: replicated
+    """Partition spec for a DiT param leaf, keyed on its flat path.
+
+    Leaves under ``blocks_scan`` carry an extra leading layer axis (stacked
+    for the lax.scan execution, models/dit/nadit.py:stack_blocks): the spec
+    is computed for the underlying weight shape and the layer axis stays
+    unsharded (every chip runs every layer)."""
+    stacked = "blocks_scan/" in path
+    nd = leaf.ndim - (1 if stacked else 0)
+
+    def wrap(*spec) -> P:
+        return P(None, *spec) if stacked else P(*spec)
+
+    if nd < 2:
+        return P()  # biases, norms, ada vectors: replicated (any layout)
     # column-parallel (shard output dim): qkv, mlp inputs
     if "attn/qkv" in path:
         # qkv is stored [D, 3, inner] so the head dim shards cleanly
-        return P(None, None, AXIS_TENSOR) if leaf.ndim == 3 else P(None, AXIS_TENSOR)
+        return wrap(None, None, AXIS_TENSOR) if nd == 3 else wrap(None, AXIS_TENSOR)
     if "attn/out" in path:
-        return P(AXIS_TENSOR, None)  # row-parallel (shard input dim = heads)
+        return wrap(AXIS_TENSOR, None)  # row-parallel (shard input dim = heads)
     if "mlp" in path and "proj_out" in path:
-        return P(AXIS_TENSOR, None)
+        return wrap(AXIS_TENSOR, None)
     if "mlp" in path and ("proj_in" in path or "proj_in_gate" in path):
-        return P(None, AXIS_TENSOR)
+        return wrap(None, AXIS_TENSOR)
     return P()  # patch in/out, txt_in, emb_in: small, replicated
 
 

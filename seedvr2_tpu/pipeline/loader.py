@@ -102,6 +102,15 @@ def load_runner(
     dit_params = tree_map_with_path(lambda p, x: _cast(p, x), dit_params)
     vae_params = jax.tree.map(lambda x: jnp.asarray(x, dtype), vae_params)
 
+    # Stack uniform layer runs for the lax.scan execution (one compiled
+    # pair body instead of num_layers inlined copies; ~15x smaller DiT
+    # programs and a handful of weight leaves — models/dit/nadit.py:
+    # layer_exec_plan). Device-side, consuming the per-layer leaves, so
+    # peak HBM overhead is one stacked leaf group.
+    from ..models.dit.nadit import stack_blocks
+
+    dit_params = stack_blocks(dit_params, cfg.dit)
+
     if mesh is not None and shard_dit:
         from ..parallel.sharding import dit_param_shardings, shard_params
 

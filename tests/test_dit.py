@@ -151,3 +151,51 @@ def test_single_window_txt_passthrough():
     out = nadit_forward(params, cfg, vid, txt, jnp.array([800.0]), plans)
     assert out.shape == (1, 1, 8, 8, cfg.vid_out_channels)
     assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.parametrize("rope", ["mmrope3d", "window_pixel"])
+def test_scan_stacked_matches_unrolled(rope):
+    """lax.scan execution over stacked layer weights (stack_blocks) must
+    reproduce the unrolled per-layer loop exactly (same weights, same plan
+    alternation). Uses 6 layers so the plan mixes scanned pairs with the
+    3B tail quirk (last layer vid_only)."""
+    import dataclasses
+
+    from seedvr2_tpu.models.dit.nadit import layer_exec_plan, stack_blocks
+
+    cfg = dataclasses.replace(
+        dit_tiny(rope), num_layers=10, mm_layers=4 if rope == "mmrope3d" else 1
+    )
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(5)
+    vid = jnp.asarray(rng.standard_normal((1, 2, 8, 8, cfg.vid_in_channels), np.float32) * 0.3)
+    txt = jnp.asarray(rng.standard_normal((1, 4, cfg.txt_in_dim), np.float32) * 0.3)
+    t = jnp.asarray([500.0])
+    plans = build_attn_plans(cfg, (2, 4, 4), 4)
+
+    ref = nadit_forward(params, cfg, vid, txt, t, plans)
+
+    plan = layer_exec_plan(cfg)
+    assert any(item[0] == "scan" for item in plan), plan
+    # deep-copy leaves first: stack_blocks consumes its input
+    import copy
+
+    params2 = jax.tree.map(lambda x: x, params)
+    params2["blocks"] = [copy.deepcopy(b) for b in params["blocks"]]
+    stacked = stack_blocks(params2, cfg)
+    assert "blocks_scan" in stacked
+    out = nadit_forward(stacked, cfg, vid, txt, t, plans)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_layer_exec_plan_shapes():
+    from seedvr2_tpu.config import dit_3b, dit_7b
+    from seedvr2_tpu.models.dit.nadit import layer_exec_plan
+
+    assert layer_exec_plan(dit_7b()) == [("scan", 0, 18)]
+    assert layer_exec_plan(dit_3b()) == [
+        ("scan", 0, 5),
+        ("scan", 10, 10),
+        ("layer", 30),
+        ("layer", 31),
+    ]

@@ -238,3 +238,42 @@ def test_all_color_methods_e2e():
         assert np.isfinite(outs[method]).all()
     # methods actually differ
     assert np.abs(outs["lab"] - outs["adain"]).max() > 1e-5
+
+
+def test_budget_declines_stash_when_offloading():
+    """VERDICT r2 #8: one shared HBM budget — at a 4K long-video shape the
+    offload heuristic must trigger AND the color-ref stash must be declined
+    with it (they used to size themselves independently)."""
+    from seedvr2_tpu.config import PipelineConfig
+    from seedvr2_tpu.pipeline import phases
+
+    cfg = PipelineConfig(resolution=2160, batch_size=5, color_correction="lab")
+    ctx = phases.make_context(cfg)
+    ctx["true_dims"] = (2160, 3840)  # 4K output
+    ctx["total_frames"] = 4001  # ~2min clip: latents alone ~8 GiB
+    ctx["batches"] = [None] * 801  # 4n+1 batches of 5
+
+    assert phases._offload(cfg, ctx) is True
+    assert phases._stash_color_ref(cfg, ctx) is False
+    # the joint decision comes from one cached budget dict
+    assert ctx["_budget"]["offload"] and not ctx["_budget"]["stash"]
+
+    # short 1080p clip: resident latents, stash allowed
+    ctx2 = phases.make_context(cfg)
+    ctx2["true_dims"] = (1080, 1920)
+    ctx2["total_frames"] = 5
+    ctx2["batches"] = [None]
+    assert phases._offload(cfg, ctx2) is False
+    assert phases._stash_color_ref(cfg, ctx2) is True
+
+
+def test_output_bits_8_matches_16_within_quantization():
+    """u8 output packing (ROADMAP #8): same pipeline, output_bits=8 must
+    match the u16 path within one 8-bit quantization step."""
+    runner8, cfg8 = _make_runner(output_bits=8)
+    runner16, cfg16 = _make_runner()
+    frames = _frames(t=5)
+    out8 = phases.generate(runner8, frames)
+    out16 = phases.generate(runner16, frames)
+    assert out8.shape == out16.shape
+    assert np.abs(out8 - out16).max() <= (0.5 / 255.0) + 1e-6

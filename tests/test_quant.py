@@ -44,3 +44,40 @@ def test_quantized_dit_forward_close():
     out = np.asarray(nadit_forward(qparams, cfg, vid, txt, t, plans))
     rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-6)
     assert rel < 0.15, rel
+
+
+def test_synthetic_quantized_tree_matches_real_structure():
+    """synthetic_quantized_dit_params must mirror quantize_dit_params(
+    init_params(...)) exactly in tree paths, shapes and dtypes — it stands
+    in for the real tree in benches and the multichip dryrun."""
+    import jax
+
+    from seedvr2_tpu.config import dit_tiny
+    from seedvr2_tpu.models.dit.nadit import init_params
+    from seedvr2_tpu.ops.quant import (
+        quantize_dit_params,
+        synthetic_quantized_dit_params,
+    )
+
+    # tiny config with min_size lowered so some weights actually quantize
+    cfg = dit_tiny()
+    real = quantize_dit_params(
+        init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16), min_size=1 << 10
+    )
+    # patch the synthetic builder's threshold through the module constant
+    import seedvr2_tpu.ops.quant as Q
+
+    old = Q._QUANT_MIN_SIZE
+    Q._QUANT_MIN_SIZE = 1 << 10
+    try:
+        synth = synthetic_quantized_dit_params(cfg)
+    finally:
+        Q._QUANT_MIN_SIZE = old
+
+    real_flat = jax.tree.leaves_with_path(real)
+    synth_flat = jax.tree.leaves_with_path(synth)
+    assert len(real_flat) == len(synth_flat)
+    for (pr, lr), (ps, ls) in zip(real_flat, synth_flat):
+        assert jax.tree_util.keystr(pr) == jax.tree_util.keystr(ps)
+        assert tuple(lr.shape) == tuple(ls.shape), (jax.tree_util.keystr(pr), lr.shape, ls.shape)
+        assert np.dtype(lr.dtype) == np.dtype(ls.dtype), jax.tree_util.keystr(pr)

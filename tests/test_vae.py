@@ -159,3 +159,29 @@ def test_vae_scaling(params):
     np.testing.assert_allclose(
         lat, (posterior_mode(m) - CFG.shifting_factor) * CFG.scaling_factor, atol=1e-6
     )
+
+
+def test_axis_weights_never_vanish():
+    """Seam columns must keep strictly positive total blend weight even when
+    _axis_grid's independent rounding gives one seam overlap-1 actual overlap
+    (ADVICE r2: endpoint-zero ramps could leave a ~0-weight column -> dark
+    seam line after acc/max(cnt, eps))."""
+    from seedvr2_tpu.models.vae.tiling import _axis_grid, _edge_weights
+
+    for total, tile_max, ov in [
+        (136, 64, 2),   # user 16px overlap at sf=8 -> latent overlap 2
+        (135, 64, 2),
+        (240, 128, 16),
+        (97, 33, 1),
+        (301, 100, 4),
+        (240, 128, 2),
+    ]:
+        tile, starts = _axis_grid(total, tile_max, ov)
+        acc = np.zeros(total, np.float64)
+        for s in starts:
+            w = _edge_weights(tile, min(ov, tile - 1), s == 0, s == starts[-1])
+            acc[s : s + tile] += w
+        assert acc.min() >= 2e-3, (total, tile_max, ov, float(acc.min()))
+        # aligned seams must still form a partition of unity away from ramps
+        interior = acc[(acc > 0.99) & (acc < 1.01)]
+        assert interior.size > total // 2
