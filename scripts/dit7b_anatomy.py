@@ -193,6 +193,23 @@ def components(cfg7, p7_dev, latent_shape=(1, 2, 136, 240, 16)):
         )
         log(f"fused_kernel_H{Hn}_s", round(best, 4))
 
+    # fused kernel with mL padded to a sublane multiple (405 -> 408):
+    # checks whether Mosaic pays a relayout penalty for the odd sublane dim
+    from seedvr2_tpu.models.dit.windows import window_plan
+
+    pl8 = window_plan((2, 68, 120), cfg7.window, False, pad_to_multiple=8)
+    from seedvr2_tpu.models.dit.nadit import _rope_angles_for_plan
+
+    va8, _ = _rope_angles_for_plan(cfg7, pl8, Lt)
+    vqkv8 = jnp.asarray(np.random.rand(1, 3, 24, pl8.n_win, pl8.max_len, hd).astype(np.float32) * 0.1, jnp.bfloat16)
+    tqkv8 = jnp.asarray(np.random.rand(1, 3, 24, Lt, hd).astype(np.float32) * 0.1, jnp.bfloat16)
+    best, _ = timeit(
+        lambda: fused_window_attention(
+            vqkv8, tqkv8, jnp.asarray(va8), tang0, jnp.asarray(pl8.valid), False
+        )[0]
+    )
+    log("fused_kernel_H24_pad8_s", round(best, 4))
+
     # XLA attention alone at the same shape
     q = jnp.asarray(np.random.rand(nW, mL + Lt, 24, hd).astype(np.float32) * 0.1, jnp.bfloat16)
     kv_valid = jnp.concatenate([valid, jnp.ones((nW, Lt), bool)], axis=1)

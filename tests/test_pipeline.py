@@ -277,3 +277,24 @@ def test_output_bits_8_matches_16_within_quantization():
     out16 = phases.generate(runner16, frames)
     assert out8.shape == out16.shape
     assert np.abs(out8 - out16).max() <= (0.5 / 255.0) + 1e-6
+
+
+def test_streamed_vs_phased_quality_gate():
+    """PSNR/SSIM quality gate (utils/metrics.py, the BASELINE.json
+    measurement tools) between the fused streaming pipeline and the
+    reference-shaped 4-phase pipeline: same math, different program
+    boundaries — must agree to >45dB / SSIM>0.99."""
+    import dataclasses
+
+    from seedvr2_tpu.utils.metrics import video_psnr_ssim
+
+    runner, cfg = _make_runner(color_correction="wavelet")
+    frames = _frames(t=5, seed=31)
+    streamed = phases.generate(runner, frames, cfg)
+    cfg_off = dataclasses.replace(cfg, fused_pipeline="off")
+    runner.cfg = cfg_off
+    runner.invalidate_compiled()
+    phased = phases.generate(runner, frames, cfg_off)
+    p, s = video_psnr_ssim(streamed, phased)
+    assert p > 45.0, p
+    assert s > 0.99, s

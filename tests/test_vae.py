@@ -185,3 +185,25 @@ def test_axis_weights_never_vanish():
         # aligned seams must still form a partition of unity away from ramps
         interior = acc[(acc > 0.99) & (acc < 1.01)]
         assert interior.size > total // 2
+
+
+def test_tiled_decode_psnr_reported(params):
+    """Exercise the PSNR/SSIM harness (utils/metrics.py — the tools
+    BASELINE.json's quality contract is measured with) on the tiled-vs-full
+    decode delta. With RANDOM weights tiles genuinely diverge (no trained
+    spatial decay), so this asserts only harness sanity here; the
+    pipeline-level quality gate lives in
+    tests/test_pipeline.py::test_streamed_vs_phased_quality_gate."""
+    from seedvr2_tpu.utils.metrics import video_psnr_ssim
+
+    rng = np.random.RandomState(7)
+    z = jnp.asarray(rng.randn(1, 2, 12, 16, CFG.latent_channels).astype(np.float32) * 0.4)
+    full = np.asarray(tiling.vae_decode(params, CFG, z, tiled=False))
+    tiled = np.asarray(
+        tiling.vae_decode(params, CFG, z, tiled=True, tile_size=(64, 64), tile_overlap=(16, 16))
+    )
+    a = np.clip(full * 0.5 + 0.5, 0, 1)
+    b = np.clip(tiled * 0.5 + 0.5, 0, 1)
+    p, s = video_psnr_ssim(a[0], b[0])
+    assert np.isfinite(p) and p > 5.0, p
+    assert -1.0 <= s <= 1.0, s
