@@ -83,8 +83,10 @@ def ref_fps_estimate(cfg, T, H, W, tokens):
                                "conv_mfu": REF_CONV_MFU, "host_s": REF_HOST_S}}
 
 
-SENTINEL_CALM_S = 0.55  # 8-chained 2048^2 bf16 matmuls, calm-window value
-                        # (measured r3; see docs/PERFORMANCE.md "Bench noise")
+SENTINEL_CALM_S = 0.08  # 8-chained 2048^2 bf16 matmuls: ~0.027-0.030s in a
+                        # verified-calm window (dispatch-floor bound; the
+                        # earlier 0.55 was itself calibrated in a degraded
+                        # window — docs/PERFORMANCE.md "7B anomaly root cause")
 
 
 def run_sentinel(jax, jnp, np):
