@@ -3,9 +3,10 @@
 
 Measures the full 4-phase pipeline (VAE encode -> one-step 3B NaDiT ->
 VAE decode -> wavelet color fix) on a 5-frame 720p -> 1080p clip with
-randomly-initialized bf16 weights — weight values don't change the math
-cost, so this is the honest architecture-level frames/sec the reference
-reports per run (reference: inference_cli.py:1694-1697).
+randomly-initialized weights (int8-at-rest DiT + bf16 VAE, the 16GB-chip
+tier; see cfg below) — weight values don't change the math cost, so this
+is the honest architecture-level frames/sec the reference reports per
+run (reference: inference_cli.py:1694-1697).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extras"}.
 extras carries the 7B one-step DiT time (int8 weight storage, the 16GB-chip
@@ -122,7 +123,6 @@ def main() -> int:
     import numpy as np
 
     from seedvr2_tpu.config import PipelineConfig, dit_3b, dit_7b, vae_config
-    from seedvr2_tpu.models.dit.nadit import init_params as init_dit
     from seedvr2_tpu.models.vae.model import init_vae_params
     from seedvr2_tpu.pipeline import phases
     from seedvr2_tpu.pipeline.runner import Runner
@@ -136,19 +136,30 @@ def main() -> int:
         color_correction="wavelet",
         compute_dtype="bfloat16",
         # VAE tiling: the 16GB HBM of one v5e chip is the reference's
-        # "12-16GB -> use tiling" tier (README.md:342); reference-default
-        # 1024/128 tiles on the equalized grid (models/vae/tiling.py) were
-        # the fastest feasible config measured with the DiT resident
-        # (docs/PERFORMANCE.md round-2 table).
+        # "12-16GB -> use tiling" tier (README.md:342). Decode runs
+        # FULL-HEIGHT column tiles (1088x1024, the best measured config —
+        # docs/PERFORMANCE.md round-3): they fit alongside the DiT because
+        # the DiT is int8-at-rest (below). Encode keeps 1024/128 (encode is
+        # dispatch-bound, tile shape is flat there).
         encode_tiled=True,
         encode_tile_size=(1024, 1024),
         encode_tile_overlap=(128, 128),
         decode_tiled=True,
-        decode_tile_size=(1024, 1024),
-        decode_tile_overlap=(128, 128),
+        decode_tile_size=(1088, 1024),
+        decode_tile_overlap=(0, 128),
     )
     dtype = jnp.bfloat16
-    dit_params = init_dit(cfg.dit, jax.random.PRNGKey(0), dtype=dtype)
+    # int8-at-rest 3B (3.2GB vs 6.2GB bf16) in the loader's stacked scan
+    # layout — the 16GB-tier default, mirroring the reference whose default
+    # DiT is the quantized-at-rest 3B fp8 (model_registry.py:56). Matmul
+    # speed is identical to bf16 at these dims (dequant rides the GEMM;
+    # docs/PERFORMANCE.md), and the freed HBM is what admits the
+    # full-height decode tiles above.
+    from seedvr2_tpu.models.dit.nadit import stack_blocks
+    from seedvr2_tpu.ops.quant import synthetic_quantized_dit_params
+
+    dit_params = jax.tree.map(jnp.asarray, synthetic_quantized_dit_params(cfg.dit))
+    dit_params = stack_blocks(dit_params, cfg.dit)
     vae_params = init_vae_params(cfg.vae, jax.random.PRNGKey(1), dtype=dtype)
     rng = np.random.RandomState(0)
     text = (rng.randn(77, cfg.dit.txt_in_dim) * 0.02).astype(np.float32)
@@ -158,14 +169,17 @@ def main() -> int:
 
     sentinel_s, window = run_sentinel(jax, jnp, np)
 
-    # Warmup (compiles every phase executable).
-    out = phases.generate(runner, frames)
-    assert out.shape[0] == FRAMES and np.isfinite(out).all()
+    # Warmup (compiles every phase executable). packed=True is what the CLI
+    # runs for its integer sinks (PNG/x265) — the u16 pixels stream to the
+    # writer with no host fp32 unpack (~1.8s/5-frame single-core saved,
+    # scripts/e2e_profile.py).
+    out = phases.generate(runner, frames, packed=True)
+    assert out.shape[0] == FRAMES and out.dtype == np.uint16
 
     times = []
     for _ in range(REPEATS):
         t0 = time.perf_counter()
-        out = phases.generate(runner, frames)
+        out = phases.generate(runner, frames, packed=True)
         times.append(time.perf_counter() - t0)
     best = min(times)
     fps = FRAMES / best
@@ -239,6 +253,13 @@ def main() -> int:
             ) * 0.5
             extras["dit_7b_4k_s"] = round(t_stage(lambda: r7.upscale(lat4k, 42)), 3)
             del video4k
+            # Decode with the DiT dropped from HBM: the single-chip 4K
+            # configuration is phased residency (cfg.phased_weights — the
+            # reference's phase offload), and an OOM here would poison the
+            # process's remaining HBM allocations on this platform. Dropped
+            # directly (no host copy) since the step is not re-run.
+            r7.dit_params = None
+            r7._dit_step_cache.clear()
             extras["dec_7b_4k_s"] = round(t_stage(lambda: r7.vae_decode(lat4k)), 3)
         except Exception as e:
             extras["stages_7b_4k"] = f"failed: {type(e).__name__}: {str(e)[:120]}"

@@ -198,7 +198,13 @@ def process_frames(runner, cfg, frames: np.ndarray, debug, mesh=None, tile_debug
     else:
         from seedvr2_tpu.pipeline import phases
 
-        out = phases.generate(runner, frames, cfg, debug)
+        # The CLI's sinks are all integer (PNG, x265, cv2 mp4), so accept
+        # packed pixels and skip the host fp32 unpack; the tile-debug
+        # overlay draws in float space, so keep f32 there. generate() may
+        # still return f32 on host-postprocess paths — writers dispatch on
+        # dtype (io/video.py).
+        packed = tile_debug not in ("encode", "decode")
+        out = phases.generate(runner, frames, cfg, debug, packed=packed)
     if tile_debug in ("encode", "decode"):
         from seedvr2_tpu.utils.tile_debug import draw_for_config
 
@@ -296,10 +302,14 @@ def main(argv: Optional[List[str]] = None) -> int:
                 from seedvr2_tpu.ops.blending import overlap_weights
 
                 k = min(ov, len(out), len(pending_tail))
-                w_prev = overlap_weights(k).reshape(k, 1, 1, 1).astype(out.dtype)
-                out = np.concatenate(
-                    [pending_tail[-k:] * w_prev + out[:k] * (1.0 - w_prev), out[k:]], axis=0
+                w_prev = overlap_weights(k).reshape(k, 1, 1, 1).astype(np.float32)
+                blend = (
+                    pending_tail[-k:].astype(np.float32) * w_prev
+                    + out[:k].astype(np.float32) * (1.0 - w_prev)
                 )
+                if out.dtype != np.float32:  # packed pixels: round back
+                    blend = (blend + 0.5).astype(out.dtype)
+                out = np.concatenate([blend.astype(out.dtype), out[k:]], axis=0)
             if ov > 0 and len(frames) == chunk:
                 # More chunks may follow: hold back the tail for blending.
                 pending_tail, out = out[-ov:], out[:-ov]

@@ -37,6 +37,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dit-resident", action="store_true",
                     help="allocate a 3B bf16 DiT to mimic pipeline HBM pressure")
+    ap.add_argument("--dit-int8", action="store_true",
+                    help="allocate a 3B int8-at-rest DiT instead (the fp8-tier "
+                         "default's footprint, ~3.2GB vs 6.2GB bf16)")
     ap.add_argument("--cases", type=str, default="")
     ap.add_argument("--frames", type=int, default=5)
     args = ap.parse_args()
@@ -49,7 +52,16 @@ def main():
     cfg = vae_config()
     params = init_vae_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
     dit_params = None
-    if args.dit_resident:
+    if args.dit_int8:
+        from seedvr2_tpu.models.dit.nadit import stack_blocks
+        from seedvr2_tpu.ops.quant import synthetic_quantized_dit_params
+
+        dit_params = jax.tree.map(
+            jnp.asarray, synthetic_quantized_dit_params(dit_3b())
+        )
+        dit_params = stack_blocks(dit_params, dit_3b())
+        _force(jax.tree.leaves(dit_params)[0])
+    elif args.dit_resident:
         from seedvr2_tpu.models.dit.nadit import init_params as init_dit
 
         dit_params = init_dit(dit_3b(), jax.random.PRNGKey(1), dtype=jnp.bfloat16)
@@ -63,13 +75,26 @@ def main():
     latent = jnp.asarray(np.random.RandomState(1).randn(1, Tl, H // 8, W // 8, 16) * 0.5,
                          jnp.bfloat16)
 
+    # Jit the WHOLE tiled driver exactly as the product path does
+    # (Runner._vae_fn): the eager driver pays a tunnel round trip per scan
+    # step and measures ~10x slower than what the pipeline actually runs.
     def dec(tb, ts=(512, 512), to=(64, 64)):
-        return lambda: tiling.vae_decode(params, cfg, latent, tiled=True,
-                                         tile_size=ts, tile_overlap=to, tile_batch=tb)
+        f = jax.jit(lambda p, z: tiling.vae_decode(
+            p, cfg, z, tiled=True, tile_size=ts, tile_overlap=to, tile_batch=tb))
+        return lambda: f(params, latent)
 
     def enc(tb, ts=(512, 512), to=(64, 64)):
-        return lambda: tiling.vae_encode(params, cfg, video, tiled=True,
-                                         tile_size=ts, tile_overlap=to, tile_batch=tb)
+        f = jax.jit(lambda p, v: tiling.vae_encode(
+            p, cfg, v, tiled=True, tile_size=ts, tile_overlap=to, tile_batch=tb))
+        return lambda: f(params, video)
+
+    def dec_untiled():
+        f = jax.jit(lambda p, z: tiling.vae_decode(p, cfg, z))
+        return lambda: f(params, latent)
+
+    def enc_untiled():
+        f = jax.jit(lambda p, v: tiling.vae_encode(p, cfg, v))
+        return lambda: f(params, video)
 
     cases = {
         "dec_xla_tb1": ("xla", dec(1)),
@@ -83,14 +108,14 @@ def main():
         "dec_pallas_1024": ("pallas", dec(1, (1024, 1024), (128, 128))),
         "dec_xla_tall": ("xla", dec(1, (1088, 1024), (0, 128))),
         "dec_pallas_tall": ("pallas", dec(1, (1088, 1024), (0, 128))),
-        "dec_xla_untiled": ("xla", lambda: tiling.vae_decode(params, cfg, latent)),
-        "dec_pallas_untiled": ("pallas", lambda: tiling.vae_decode(params, cfg, latent)),
+        "dec_xla_untiled": ("xla", dec_untiled()),
+        "dec_pallas_untiled": ("pallas", dec_untiled()),
         "enc_xla_tb1": ("xla", enc(1)),
         "enc_pallas_tb1": ("pallas", enc(1)),
         "enc_xla_768": ("xla", enc(1, (768, 768), (64, 64))),
         "enc_xla_tall": ("xla", enc(1, (1088, 1024), (0, 128))),
         "enc_pallas_tb4": ("pallas", enc(4)),
-        "enc_pallas_untiled": ("pallas", lambda: tiling.vae_encode(params, cfg, video)),
+        "enc_pallas_untiled": ("pallas", enc_untiled()),
     }
     run = [c for c in args.cases.split(",") if c] or list(cases)
     for name in run:

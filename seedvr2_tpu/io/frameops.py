@@ -92,6 +92,29 @@ def f32_to_u8(frames01: np.ndarray) -> np.ndarray:
     return out
 
 
+def to_u16(frames: np.ndarray) -> np.ndarray:
+    """Any pipeline output dtype -> uint16 pixels.
+
+    Accepts float32 in [0,1] (legacy unpacked path), uint8, or uint16 —
+    the packed outputs of phases.generate(packed=True) pass through with
+    no float round-trip (the whole point of packed output)."""
+    if frames.dtype == np.uint16:
+        return frames
+    if frames.dtype == np.uint8:
+        return frames.astype(np.uint16) * np.uint16(257)  # 255*257 == 65535
+    return f32_to_u16(frames)
+
+
+def to_u8(frames: np.ndarray) -> np.ndarray:
+    """Any pipeline output dtype -> uint8 pixels (see to_u16)."""
+    if frames.dtype == np.uint8:
+        return frames
+    if frames.dtype == np.uint16:
+        # round(v / 257): 257 = 65535/255, +128 rounds half-up
+        return ((frames.astype(np.uint32) + 128) // 257).astype(np.uint8)
+    return f32_to_u8(frames)
+
+
 def denorm_clamp_(x: np.ndarray) -> np.ndarray:
     """In-place [-1,1] -> [0,1] + clamp."""
     lib = _build()

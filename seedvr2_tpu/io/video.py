@@ -53,9 +53,10 @@ def read_image(path: str) -> np.ndarray:
 
 
 def write_image(path: str, frame01: np.ndarray) -> None:
+    """frame01: [H, W, 3|4] float32 in [0,1], uint8, or uint16 (packed)."""
     import cv2
 
-    img = frameops.f32_to_u8(frame01)
+    img = frameops.to_u8(frame01)
     if img.shape[2] == 4:
         img = cv2.cvtColor(img, cv2.COLOR_RGBA2BGRA)
     else:
@@ -150,11 +151,12 @@ class FFmpegWriter:
         self.proc = subprocess.Popen(cmd, stdin=subprocess.PIPE)
 
     def write(self, frames01: np.ndarray) -> None:
-        """frames01: [T, H, W, 3] float in [0, 1]."""
+        """frames01: [T, H, W, 3] float in [0,1], uint8, or uint16 — the
+        packed dtypes stream straight into ffmpeg with no float pass."""
         if self.bit10:
-            data = frameops.f32_to_u16(frames01)
+            data = frameops.to_u16(frames01)
         else:
-            data = frameops.f32_to_u8(frames01)
+            data = frameops.to_u8(frames01)
         try:
             self.proc.stdin.write(data.tobytes())
         except BrokenPipeError as e:
@@ -182,7 +184,7 @@ class CV2Writer:
         import cv2
 
         for f in frames01:
-            bgr = cv2.cvtColor(frameops.f32_to_u8(f), cv2.COLOR_RGB2BGR)
+            bgr = cv2.cvtColor(frameops.to_u8(f), cv2.COLOR_RGB2BGR)
             self.writer.write(bgr)
 
     def close(self) -> None:

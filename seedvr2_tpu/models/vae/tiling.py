@@ -92,21 +92,33 @@ def slicing_decode(params, cfg: VAEConfig, z: jnp.ndarray) -> jnp.ndarray:
 
 
 def _cosine_ramp(n: int) -> np.ndarray:
-    """Reference-shaped cosine ramp with strictly positive endpoints.
-
-    Shape matches the reference's linspace(0,1) cosine fade (reference:
-    attn_video_vae.py:1588-1610) so tiled outputs stay parity-close
-    (test_vae_tiled_encode_parity). The endpoints are clamped away from
-    exact 0/1 because _axis_grid rounds interior starts independently: one
-    seam's actual overlap can be ``overlap - 1``, and with endpoint-zero
-    ramps both adjacent tiles could carry ~0 weight on the same column —
-    acc/max(cnt, eps) then produced a dark seam line. With the clamp the
-    worst case is a proper (tiny-weight) average of the two tiles, and the
-    parity deviation is <= eps * inter-tile disagreement
-    (tests/test_vae.py::test_axis_weights_never_vanish)."""
+    """Exact cosine fade, linspace(0,1) endpoints included (reference:
+    attn_video_vae.py:1588-1610). Endpoint zeros are safe because the ramp
+    LENGTH is clamped to the smallest actual seam overlap (_seam_ramp) — a
+    ramp can never span farther than its seam, so the opposite tile is
+    always at full weight where this one reaches zero."""
     t = np.linspace(0.0, 1.0, n, dtype=np.float32)
-    ramp = 0.5 - 0.5 * np.cos(t * np.pi)
-    return np.clip(ramp, 2e-3, 1.0 - 2e-3)
+    return 0.5 - 0.5 * np.cos(t * np.pi)
+
+
+def _seam_ramp(tile: int, starts: list, overlap: int) -> int:
+    """Blend-ramp length for one axis: the configured overlap clamped to the
+    smallest ACTUAL seam overlap of the grid.
+
+    _axis_grid rounds interior starts independently, so one seam's actual
+    overlap can be ``overlap - 1``. An endpoint-zero cosine ramp longer than
+    that seam would give BOTH adjacent tiles ~0 weight on the same column and
+    acc/max(cnt, eps) produced a dark seam line (ADVICE r2). Clamping the
+    ramp to the seam restores the invariant that wherever one tile's ramp
+    hits zero the neighbouring tile is at weight 1 — and keeps the ramps
+    bit-exact with the reference whenever the grid seams equal the
+    configured overlap (tests/test_reference_parity.py::
+    test_vae_tiled_encode_parity; tests/test_vae.py::
+    test_axis_weights_never_vanish covers the shortened-seam grids)."""
+    r = max(0, min(overlap, tile - 1))
+    for a, b in zip(starts, starts[1:]):
+        r = min(r, a + tile - b)
+    return max(0, r)
 
 
 def _tile_starts(total: int, tile: int, stride: int) -> list:
@@ -269,10 +281,12 @@ def tiled_encode(
     lt_h, rows = _axis_grid(H_lat, ltmax_h, lo_h)
     lt_w, cols = _axis_grid(W_lat, ltmax_w, lo_w)
     tiles = [(y, x0) for y in rows for x0 in cols]
+    r_h = _seam_ramp(lt_h, rows, lo_h)
+    r_w = _seam_ramp(lt_w, cols, lo_w)
     weights = []
     for (y, x0) in tiles:
-        wh = _edge_weights(lt_h, min(lo_h, lt_h - 1), y == 0, y == rows[-1])
-        ww = _edge_weights(lt_w, min(lo_w, lt_w - 1), x0 == 0, x0 == cols[-1])
+        wh = _edge_weights(lt_h, r_h, y == 0, y == rows[-1])
+        ww = _edge_weights(lt_w, r_w, x0 == 0, x0 == cols[-1])
         weights.append(np.outer(wh, ww))
     tiles, weights = _pad_tiles(tiles, weights, tile_batch)
 
@@ -330,11 +344,15 @@ def tiled_decode(
     tiles = [(y, x) for y in rows for x in cols]
     th, tw = lt_h * sf, lt_w * sf
 
-    # Per-tile pixel-space blend weights (interior edges only).
+    # Per-tile pixel-space blend weights (interior edges only). Ramp length
+    # clamps to the smallest actual seam overlap in PIXEL space (latent
+    # seams * sf) — see _seam_ramp.
+    r_h = _seam_ramp(th, [y * sf for y in rows], ov_h)
+    r_w = _seam_ramp(tw, [x * sf for x in cols], ov_w)
     weights = []
     for (y, x) in tiles:
-        wh = _edge_weights(th, min(ov_h, th - 1), y == 0, y == rows[-1])
-        ww = _edge_weights(tw, min(ov_w, tw - 1), x == 0, x == cols[-1])
+        wh = _edge_weights(th, r_h, y == 0, y == rows[-1])
+        ww = _edge_weights(tw, r_w, x == 0, x == cols[-1])
         weights.append(np.outer(wh, ww))
     tiles, weights = _pad_tiles(tiles, weights, tile_batch)
 

@@ -314,6 +314,10 @@ def postprocess_all_batches(
     return ctx
 
 
+def _packed_dtype(cfg: PipelineConfig):
+    return np.uint8 if cfg.output_bits == 8 else np.uint16
+
+
 def decode_and_postprocess_fused(
     runner: Runner,
     ctx: Dict[str, Any],
@@ -330,7 +334,10 @@ def decode_and_postprocess_fused(
     specs = ctx["batches"]
     images = ctx["input_images"]
     total = ctx["total_frames"]
-    final = np.zeros((total, true_h, true_w, 3), np.float32)
+    packed = bool(ctx.get("packed"))
+    final = np.zeros(
+        (total, true_h, true_w, 3), _packed_dtype(cfg) if packed else np.float32
+    )
     write = 0
     n = len(ctx["all_upscaled"])
     for bi, up in enumerate(ctx["all_upscaled"]):
@@ -353,7 +360,8 @@ def decode_and_postprocess_fused(
         )
         from .runner import unpack_frames
 
-        final[write : write + ori] = unpack_frames(jax.device_get(out_u16))
+        host = jax.device_get(out_u16)
+        final[write : write + ori] = host if packed else unpack_frames(host)
         write += ori
         ctx["all_upscaled"][bi] = None
         debug.end_timer(f"finalize_batch_{bi+1}", f"Finalized batch {bi+1}/{n}")
@@ -371,18 +379,27 @@ def generate_streaming(
     debug: Debug,
     progress_callback: Optional[Callable] = None,
     interrupt_fn: Optional[Callable] = None,
+    packed: bool = False,
 ) -> np.ndarray:
     """Per-batch fused pipeline (Runner.fused_batch): each batch runs
     transform->encode->DiT->decode->finalize as ONE executable, with batch
     i+1's dispatch overlapping batch i's host transfer. Seeding and noise
     key sequencing are identical to the phase-wise path, so outputs match.
-    Raises on OOM — generate() falls back to the 4-phase pipeline."""
+    Raises on OOM — generate() falls back to the 4-phase pipeline.
+
+    ``packed=True`` returns the device's packed pixels (uint16/uint8 per
+    cfg.output_bits) without the host-side fp32 conversion — the fp32
+    unpack of a 1080p 5-frame clip costs ~1.8s of single-core numpy
+    (docs/PERFORMANCE.md round-3), pure waste for the PNG16/x265/u8 sinks
+    that re-quantize anyway."""
     total = len(images)
     true_h, true_w = true_target_dims(
         images.shape[1], images.shape[2], cfg.resolution, cfg.max_resolution
     )
     specs = batching.compute_batches(total, cfg.batch_size, 0, cfg.uniform_batch_size)
-    final = np.zeros((total, true_h, true_w, 3), np.float32)
+    final = np.zeros(
+        (total, true_h, true_w, 3), _packed_dtype(cfg) if packed else np.float32
+    )
     key_noise = batch_key(cfg.seed, "input_noise")
     debug.start_timer("streaming_pipeline")
     if progress_callback:
@@ -401,7 +418,8 @@ def generate_streaming(
         u16, ori = p
         from .runner import unpack_frames
 
-        final[write : write + ori] = unpack_frames(jax.device_get(u16))[:ori]
+        host = jax.device_get(u16)
+        final[write : write + ori] = (host if packed else unpack_frames(host))[:ori]
         write += ori
 
     for bi, spec in enumerate(specs):
@@ -433,10 +451,19 @@ def generate(
     debug: Optional[Debug] = None,
     progress_callback: Optional[Callable] = None,
     interrupt_fn: Optional[Callable] = None,
+    packed: bool = False,
 ) -> np.ndarray:
-    """End-to-end: frames in [0,1] THWC -> upscaled frames in [0,1] THWC.
+    """End-to-end: frames in [0,1] THWC -> upscaled frames THWC.
     ``interrupt_fn`` is called before every batch and may raise to abort
-    (the reference's ComfyUI interrupt hook, generation_utils.py:660-663)."""
+    (the reference's ComfyUI interrupt hook, generation_utils.py:660-663).
+
+    Returns float32 in [0,1] by default. ``packed=True`` means the caller
+    ACCEPTS packed pixels: the fused/fast paths then return the device's
+    uint16 (or uint8 when cfg.output_bits == 8 — value v represents
+    v / 65535 resp. v / 255), skipping a ~1.8s/5-frame single-core fp32
+    conversion; paths that must post-process on host (RGBA alpha merge,
+    temporal-overlap blending, prepend trim) still return float32, so
+    callers dispatch on dtype — io/video.py's writers and the CLI do."""
     import time
 
     cfg = cfg or runner.cfg
@@ -457,7 +484,8 @@ def generate(
         for attempt in range(2):
             try:
                 out = generate_streaming(
-                    runner, images, cfg, dbg, progress_callback, interrupt_fn
+                    runner, images, cfg, dbg, progress_callback, interrupt_fn,
+                    packed=packed,
                 )
                 dt = time.perf_counter() - t0
                 dbg.log(
@@ -494,6 +522,7 @@ def generate(
 
     ctx = make_context(cfg, debug)
     ctx["interrupt_fn"] = interrupt_fn
+    ctx["packed"] = packed
     encode_all_batches(runner, ctx, images, progress_callback)
     upscale_all_batches(runner, ctx, progress_callback)
     fast_path = (

@@ -36,3 +36,24 @@ def test_denorm_clamp():
     x = np.array([-1.5, -1.0, 0.0, 1.0, 2.0], np.float32)
     out = F.denorm_clamp_(x.copy())
     np.testing.assert_allclose(out, [0.0, 0.0, 0.5, 1.0, 1.0], atol=1e-7)
+
+
+def test_to_u16_to_u8_dispatch():
+    """Packed passthrough + exact integer rescale between bit depths."""
+    import numpy as np
+
+    from seedvr2_tpu.io import frameops as fo
+
+    u16 = np.array([[0, 257, 65535, 32896]], np.uint16)
+    u8 = np.array([[0, 1, 255, 128]], np.uint8)
+    f32 = u16.astype(np.float32) / 65535.0
+
+    assert fo.to_u16(u16) is u16
+    assert fo.to_u8(u8) is u8
+    np.testing.assert_array_equal(fo.to_u16(u8), u8.astype(np.uint16) * 257)
+    np.testing.assert_array_equal(fo.to_u8(u16), u8)  # round(v/257)
+    np.testing.assert_array_equal(fo.to_u16(f32), u16)
+    # u16 -> u8 rounding: 385 = 1.498*257 -> 1; 386 -> 2
+    np.testing.assert_array_equal(
+        fo.to_u8(np.array([385, 386], np.uint16)), np.array([1, 2], np.uint8)
+    )

@@ -298,3 +298,36 @@ def test_streamed_vs_phased_quality_gate():
     p, s = video_psnr_ssim(streamed, phased)
     assert p > 45.0, p
     assert s > 0.99, s
+
+
+def test_packed_output_matches_unpacked():
+    """generate(packed=True) must return the very pixels the unpacked path
+    would produce, just without the host fp32 conversion (uint16 default,
+    uint8 when cfg.output_bits == 8); host-postprocess paths (RGBA) keep
+    returning f32 under the caller-accepts contract."""
+    runner, cfg = _make_runner(color_correction="wavelet")
+    frames = _frames(t=5, seed=11)
+    ref = phases.generate(runner, frames)
+    packed = phases.generate(runner, frames, packed=True)
+    assert packed.dtype == np.uint16
+    np.testing.assert_array_equal(packed, (ref * 65535.0 + 0.5).astype(np.uint16))
+
+    runner8, _ = _make_runner(color_correction="wavelet", output_bits=8)
+    packed8 = phases.generate(runner8, frames, packed=True)
+    assert packed8.dtype == np.uint8
+
+    # RGBA forces host alpha merge -> f32 even when packing was accepted
+    rgba = np.concatenate([frames, (frames[..., :1] > 0.5).astype(np.float32)], -1)
+    out = phases.generate(runner, rgba, packed=True)
+    assert out.dtype == np.float32 and out.shape[-1] == 4
+
+
+def test_packed_output_phase_wise_path():
+    """The non-streaming fast path (tensor_offload='always' disables the
+    fused program) must honor packed=True through decode_and_postprocess_fused."""
+    runner, cfg = _make_runner(color_correction="none", tensor_offload="always")
+    frames = _frames(t=5, seed=12)
+    ref = phases.generate(runner, frames)
+    packed = phases.generate(runner, frames, packed=True)
+    assert packed.dtype == np.uint16
+    np.testing.assert_array_equal(packed, (ref * 65535.0 + 0.5).astype(np.uint16))

@@ -165,8 +165,10 @@ def test_axis_weights_never_vanish():
     """Seam columns must keep strictly positive total blend weight even when
     _axis_grid's independent rounding gives one seam overlap-1 actual overlap
     (ADVICE r2: endpoint-zero ramps could leave a ~0-weight column -> dark
-    seam line after acc/max(cnt, eps))."""
-    from seedvr2_tpu.models.vae.tiling import _axis_grid, _edge_weights
+    seam line after acc/max(cnt, eps)). The fix clamps the ramp LENGTH to the
+    smallest actual seam overlap (_seam_ramp) while keeping the reference's
+    exact 0..1 cosine endpoints (parity: test_vae_tiled_encode_parity)."""
+    from seedvr2_tpu.models.vae.tiling import _axis_grid, _edge_weights, _seam_ramp
 
     for total, tile_max, ov in [
         (136, 64, 2),   # user 16px overlap at sf=8 -> latent overlap 2
@@ -177,11 +179,13 @@ def test_axis_weights_never_vanish():
         (240, 128, 2),
     ]:
         tile, starts = _axis_grid(total, tile_max, ov)
+        ramp = _seam_ramp(tile, starts, ov)
         acc = np.zeros(total, np.float64)
         for s in starts:
-            w = _edge_weights(tile, min(ov, tile - 1), s == 0, s == starts[-1])
+            w = _edge_weights(tile, ramp, s == 0, s == starts[-1])
             acc[s : s + tile] += w
-        assert acc.min() >= 2e-3, (total, tile_max, ov, float(acc.min()))
+        # wherever a ramp reaches zero the neighbouring tile must be at 1
+        assert acc.min() >= 1.0 - 1e-6, (total, tile_max, ov, float(acc.min()))
         # aligned seams must still form a partition of unity away from ramps
         interior = acc[(acc > 0.99) & (acc < 1.01)]
         assert interior.size > total // 2
