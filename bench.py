@@ -32,6 +32,13 @@ IN_H, IN_W = 720, 1280
 RESOLUTION = 1080  # shortest-edge target
 REPEATS = 4  # min-of-N; the dev tunnel adds +/-30% run-to-run noise
 
+# Wall-clock budget for the OPTIONAL extras (7B step, 4K stages): their
+# compiles through the remote helper can take tens of minutes in a degraded
+# tunnel window, and a driver-side kill would lose the headline number too
+# (the JSON prints once, at the end). When the budget is exceeded the
+# remaining extras are skipped with a note instead.
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 2100))
+
 # --- reference-baseline derivation constants (auditable) ---
 RTX4090_TFLOPS = 165.0  # dense bf16/fp16 with FP32 accumulate
 REF_DIT_MFU = 0.40  # flash-attn + torch.compile DiT (README.md:215,319)
@@ -118,6 +125,7 @@ def run_sentinel(jax, jnp, np):
 
 
 def main() -> int:
+    t_proc = time.perf_counter()
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -135,6 +143,14 @@ def main() -> int:
         batch_size=FRAMES,
         color_correction="wavelet",
         compute_dtype="bfloat16",
+        # 8-bit output packing: the reference's output path is uint8
+        # end-to-end — (result*255).astype(np.uint8) for PNG and cv2 mp4,
+        # and even its "10-bit" x265 writer is fed uint8 frames
+        # (reference: inference_cli.py:183,590,763,809) — so the parity
+        # workload transfers 1 byte/channel. Our CLI defaults to TRUE
+        # 16-bit transfer for its 10-bit x265/PNG16 sink (which exceeds
+        # the reference); that tier is the `--output_bits 16` flag.
+        output_bits=8,
         # VAE tiling: the 16GB HBM of one v5e chip is the reference's
         # "12-16GB -> use tiling" tier (README.md:342). Decode runs
         # FULL-HEIGHT column tiles (1088x1024, the best measured config —
@@ -170,11 +186,11 @@ def main() -> int:
     sentinel_s, window = run_sentinel(jax, jnp, np)
 
     # Warmup (compiles every phase executable). packed=True is what the CLI
-    # runs for its integer sinks (PNG/x265) — the u16 pixels stream to the
+    # runs for its integer sinks (PNG/x265) — packed pixels stream to the
     # writer with no host fp32 unpack (~1.8s/5-frame single-core saved,
     # scripts/e2e_profile.py).
     out = phases.generate(runner, frames, packed=True)
-    assert out.shape[0] == FRAMES and out.dtype == np.uint16
+    assert out.shape[0] == FRAMES and out.dtype == np.uint8
 
     times = []
     for _ in range(REPEATS):
@@ -194,10 +210,17 @@ def main() -> int:
               "sentinel_s": sentinel_s, "window": window}
     extras.update({k: (round(v, 3) if isinstance(v, float) else v) for k, v in deriv.items()})
 
+    def over_budget(tag: str) -> bool:
+        el = time.perf_counter() - t_proc
+        if el > BUDGET_S:
+            extras[tag] = f"skipped: extras budget exceeded ({el:.0f}s)"
+            return True
+        return False
+
     # 7B one-step DiT (int8-at-rest, the 16GB default tier) at the same
     # latent shape — the judge-facing 7B datapoint without doubling bench
     # wall time with a second full pipeline.
-    if os.environ.get("BENCH_SKIP_7B") != "1":
+    if os.environ.get("BENCH_SKIP_7B") != "1" and not over_budget("dit_step_7b_int8_s"):
         try:
             del dit_params
             runner.dit_params = None
@@ -231,6 +254,9 @@ def main() -> int:
         # tiled 4K decode. Completion is a scalar fetch, so these measure
         # device compute, not the dev tunnel's 40MB/s frame download (the
         # e2e 3B headline includes transfers).
+        if over_budget("stages_7b_4k"):
+            print_result(fps, ref_fps, extras)
+            return 0
         try:
             def t_stage(fn, n=2):
                 out = fn()
@@ -264,6 +290,11 @@ def main() -> int:
         except Exception as e:
             extras["stages_7b_4k"] = f"failed: {type(e).__name__}: {str(e)[:120]}"
 
+    print_result(fps, ref_fps, extras)
+    return 0
+
+
+def print_result(fps, ref_fps, extras):
     print(
         json.dumps(
             {
@@ -275,7 +306,6 @@ def main() -> int:
             }
         )
     )
-    return 0
 
 
 if __name__ == "__main__":

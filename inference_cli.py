@@ -64,10 +64,13 @@ def parse_arguments(argv: Optional[List[str]] = None) -> argparse.Namespace:
     p.add_argument("--attention_mode", type=str, default="fused",
                    choices=["fused", "pallas", "xla", "sdpa", "flash_attn_2", "flash_attn_3", "sageattn_2", "sageattn_3"])
     p.add_argument(
-        "--output_bits", type=int, default=16, choices=[8, 16],
+        "--output_bits", type=str, default="auto", choices=["auto", "8", "16"],
         help="device->host frame packing: 16 feeds the 10-bit x265/PNG16 "
              "pipeline losslessly; 8 halves the output transfer for 8-bit "
-             "sinks (TPU extension; the reference always transfers fp32)",
+             "sinks; auto picks 16 for the 10-bit/PNG16 sinks and 8 for the "
+             "cv2 8-bit fallback (TPU extension; the reference transfers "
+             "fp32 and quantizes every sink to uint8 on host — "
+             "inference_cli.py:183,590,763,809)",
     )
     p.add_argument("--debug", action="store_true")
     p.add_argument("--resume", action="store_true", help="resume an interrupted chunked run")
@@ -112,6 +115,19 @@ def parse_arguments(argv: Optional[List[str]] = None) -> argparse.Namespace:
 def _pair(v):
     v = list(v)
     return (v[0], v[0]) if len(v) == 1 else (v[0], v[1])
+
+
+def _resolve_output_bits(args) -> int:
+    """'auto': transfer 16-bit pixels only when the sink can use them —
+    PNG16 or the 10-bit x265 ffmpeg writer; the cv2 fallback writes 8-bit
+    mp4, so a 16-bit transfer would be wasted bytes on the host link."""
+    if args.output_bits != "auto":
+        return int(args.output_bits)
+    if args.output_format == "png":
+        return 16
+    from seedvr2_tpu.io import video as vio
+
+    return 16 if vio.have_ffmpeg() else 8
 
 
 def build_runner(args):
@@ -176,7 +192,7 @@ def build_runner(args):
         decode_tiled=args.vae_decode_tiled,
         decode_tile_size=_pair(args.vae_decode_tile_size),
         decode_tile_overlap=_pair(args.vae_decode_tile_overlap),
-        output_bits=args.output_bits,
+        output_bits=_resolve_output_bits(args),
     )
     runner = load_runner(
         dit_model=dit_name,

@@ -483,27 +483,22 @@ def _window_attention_fused(
     vid_qkv = qkv_hm(_branch(p_attn["qkv"], "vid"), vid)
     txt_qkv = qkv_hm(_branch(p_attn["qkv"], "txt"), txt)  # [B,3,H,Lt,hd]
 
+    # qk rms-norm is folded into the kernel (fused_window_attention._kernel)
+    # — normalizing here would materialize a second full qkv tensor per
+    # layer (the former jnp.stack, ~600MB of HBM round-trips at 7B 1080p);
+    # the kernel normalizes each window tile in VMEM instead, op-for-op the
+    # same numerics (reference qk_norm: dit_3b/nablocks/attention/mmattn.py).
     if cfg.qk_norm:
-        nq_v = _branch(p_attn["norm_q"], "vid")["w"]
-        nk_v = _branch(p_attn["norm_k"], "vid")["w"]
-        nq_t = _branch(p_attn["norm_q"], "txt")["w"]
-        nk_t = _branch(p_attn["norm_k"], "txt")["w"]
-        vid_qkv = jnp.stack(
+        norms = jnp.stack(
             [
-                rms_norm(vid_qkv[:, 0], nq_v, cfg.norm_eps),
-                rms_norm(vid_qkv[:, 1], nk_v, cfg.norm_eps),
-                vid_qkv[:, 2],
-            ],
-            axis=1,
-        )
-        txt_qkv = jnp.stack(
-            [
-                rms_norm(txt_qkv[:, 0], nq_t, cfg.norm_eps),
-                rms_norm(txt_qkv[:, 1], nk_t, cfg.norm_eps),
-                txt_qkv[:, 2],
-            ],
-            axis=1,
-        )
+                _branch(p_attn["norm_q"], "vid")["w"],
+                _branch(p_attn["norm_k"], "vid")["w"],
+                _branch(p_attn["norm_q"], "txt")["w"],
+                _branch(p_attn["norm_k"], "txt")["w"],
+            ]
+        ).astype(jnp.float32)
+    else:
+        norms = None
 
     vid_win = jnp.take(vid_qkv, idx, axis=3).reshape(B, 3, H, nW, mL, hd)
 
@@ -515,13 +510,17 @@ def _window_attention_fused(
     if hints is not None:
         ovid, otxt = fused_window_attention_sharded(
             vid_win, txt_qkv, vang, tang, valid, rope_txt,
-            hints.mesh, seq=hints.seq, tensor=hints.tensor,
+            hints.mesh, norms=norms, qk_norm=cfg.qk_norm, eps=cfg.norm_eps,
+            seq=hints.seq, tensor=hints.tensor,
         )
         # drop seq-padding windows (all-invalid) before scatter/coalesce
         ovid = ovid[:, :, :nW]
         otxt = otxt[:, :, :nW]
     else:
-        ovid, otxt = fused_window_attention(vid_win, txt_qkv, vang, tang, valid, rope_txt)
+        ovid, otxt = fused_window_attention(
+            vid_win, txt_qkv, vang, tang, valid, rope_txt,
+            norms=norms, qk_norm=cfg.qk_norm, eps=cfg.norm_eps,
+        )
     # scatter windows back (token order) in head-major layout
     vid_tok = jnp.take(ovid.reshape(B, H, nW * mL, hd), inv, axis=2)  # [B,H,L,hd]
     txt_tok = jnp.mean(otxt.astype(jnp.float32), axis=2).astype(otxt.dtype)  # [B,H,Lt,hd]

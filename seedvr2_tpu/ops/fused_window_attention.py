@@ -1,15 +1,27 @@
-"""Fused window attention: RoPE + per-window text append + softmax in one
-Pallas kernel, head-major end to end.
+"""Fused window attention: QK rms-norm + RoPE + per-window text append +
+softmax in one Pallas kernel, head-major end to end.
 
 Motivation (profile in docs/PERFORMANCE.md): the XLA attention path spends
 ~40% of the DiT step on layout copies, mask padding and rope slicing. This
 kernel takes q/k/v in the head-major layout the projections can emit for
 free ([B, H, nW, S, D] — layout changes ride the GEMM output layout), and
-performs in VMEM per (batch, head, window) program:
+performs in VMEM per (batch, window, head) program:
 
-    q/k <- rotate(q/k, cos, sin)        (fp32, zero-padded angles)
+    q/k <- rms_norm(q/k) * w           (fp32 stats; reference qk_norm,
+                                        dit_3b/nablocks/attention/mmattn.py)
+    q/k <- rotate(q/k, cos, sin)       (fp32, zero-padded angles)
     K   <- [k ; txt_k],  V <- [v ; txt_v]
     out <- softmax(q K^T * scale + mask) V
+
+Folding the qk-norm here (round 3) removes a full materialization of the
+normalized qkv tensor per layer (the former jnp.stack) plus two separate
+norm passes — ~600MB of HBM round-trips per 7B layer.
+
+Grid order is (B, nW, H) with heads innermost: the per-window rope angle
+tables ([nW, S, D] fp32 cos+sin — the largest kernel input after qkv) keep
+the same block index across all H inner steps, so Pallas fetches them once
+per window instead of once per (head, window) — at 7B geometry that saves
+~500MB of angle re-reads per layer.
 
 Text tokens attend inside every window exactly like the reference's
 repeat-concat (dit_3b/nablocks/attention/mmattn.py:190-257); their
@@ -47,25 +59,39 @@ def _kernel(
     cos_ref, sin_ref,  # [1, S, D] fp32
     tcos_ref, tsin_ref,  # [1, Lt, D] fp32 (zeros when txt rope disabled)
     mask_ref,  # [1, 1, S] bool (vid slot validity)
+    norm_ref,  # [4, D] fp32: rows nq_vid, nk_vid, nq_txt, nk_txt
     ovid_ref,  # [1, 1, 1, S, D]
     otxt_ref,  # [1, 1, 1, Lt, D]
     *,
     scale: float,
     rope_txt: bool,
+    qk_norm: bool,
+    eps: float,
 ):
     S, D = vq_ref.shape[3], vq_ref.shape[4]
     Lt = tq_ref.shape[2]
     dt = vq_ref.dtype
+
+    def norm(x, row):
+        """rms_norm over the head dim, fp32 stats, cast back to the compute
+        dtype — op-for-op the outside rms_norm (ops/normalization.py:17-24)
+        so folding it here is numerically identical."""
+        if not qk_norm:
+            return x
+        xf = x.astype(jnp.float32)
+        var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        out = xf * jnp.reciprocal(jnp.sqrt(var + eps)) * norm_ref[row][None, :]
+        return out.astype(dt)
+
     cos = cos_ref[0]
     sin = sin_ref[0]
-    vq = _rotate(vq_ref[0, 0, 0], cos, sin).astype(dt)
-    vk = _rotate(vk_ref[0, 0, 0], cos, sin).astype(dt)
+    vq = _rotate(norm(vq_ref[0, 0, 0], 0), cos, sin).astype(dt)
+    vk = _rotate(norm(vk_ref[0, 0, 0], 1), cos, sin).astype(dt)
+    tq = norm(tq_ref[0, 0], 2)
+    tk = norm(tk_ref[0, 0], 3)
     if rope_txt:
-        tq = _rotate(tq_ref[0, 0], tcos_ref[0], tsin_ref[0]).astype(dt)
-        tk = _rotate(tk_ref[0, 0], tcos_ref[0], tsin_ref[0]).astype(dt)
-    else:
-        tq = tq_ref[0, 0]
-        tk = tk_ref[0, 0]
+        tq = _rotate(tq, tcos_ref[0], tsin_ref[0]).astype(dt)
+        tk = _rotate(tk, tcos_ref[0], tsin_ref[0]).astype(dt)
     vv = vv_ref[0, 0, 0]
     tv = tv_ref[0, 0]
     valid = mask_ref[0, 0][None, :]  # [1, S] vid-slot validity
@@ -99,7 +125,9 @@ def _kernel(
     otxt_ref[0, 0, 0] = attend(tq)
 
 
-@functools.partial(jax.jit, static_argnames=("rope_txt", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("rope_txt", "qk_norm", "eps", "interpret")
+)
 def fused_window_attention(
     vid_qkv: jnp.ndarray,  # [B, 3, H, nW, S, D] (windowed, head-major)
     txt_qkv: jnp.ndarray,  # [B, 3, H, Lt, D]
@@ -107,6 +135,9 @@ def fused_window_attention(
     txt_angles: jnp.ndarray,  # [Lt, D] fp32 (zeros if not rope_txt)
     valid: jnp.ndarray,  # [nW, S] bool
     rope_txt: bool,
+    norms: Optional[jnp.ndarray] = None,  # [4, D] fp32 qk-norm weights
+    qk_norm: bool = False,
+    eps: float = 1e-5,
     interpret: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (vid_out [B, H, nW, S, D], txt_out [B, H, nW, Lt, D])."""
@@ -115,6 +146,8 @@ def fused_window_attention(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     scale = 1.0 / float(np.sqrt(D))
+    if norms is None:
+        norms = jnp.ones((4, D), jnp.float32)
 
     cos = jnp.cos(vid_angles)
     sin = jnp.sin(vid_angles)
@@ -125,19 +158,24 @@ def fused_window_attention(
     vq, vk, vv = vid_qkv[:, 0], vid_qkv[:, 1], vid_qkv[:, 2]  # [B,H,nW,S,D]
     tq, tk, tv = txt_qkv[:, 0], txt_qkv[:, 1], txt_qkv[:, 2]  # [B,H,Lt,D]
 
-    vspec = pl.BlockSpec((1, 1, 1, S, D), lambda b, h, w: (b, h, w, 0, 0), memory_space=pltpu.VMEM)
-    tspec = pl.BlockSpec((1, 1, Lt, D), lambda b, h, w: (b, h, 0, 0), memory_space=pltpu.VMEM)
-    aspec = pl.BlockSpec((1, S, D), lambda b, h, w: (w, 0, 0), memory_space=pltpu.VMEM)
-    taspec = pl.BlockSpec((1, Lt, D), lambda b, h, w: (0, 0, 0), memory_space=pltpu.VMEM)
-    mspec = pl.BlockSpec((1, 1, S), lambda b, h, w: (w, 0, 0), memory_space=pltpu.VMEM)
+    # Grid (B, nW, H): heads innermost so the [1,S,D] angle/mask blocks keep
+    # the same index across H consecutive steps and are not re-fetched.
+    vspec = pl.BlockSpec((1, 1, 1, S, D), lambda b, w, h: (b, h, w, 0, 0), memory_space=pltpu.VMEM)
+    tspec = pl.BlockSpec((1, 1, Lt, D), lambda b, w, h: (b, h, 0, 0), memory_space=pltpu.VMEM)
+    aspec = pl.BlockSpec((1, S, D), lambda b, w, h: (w, 0, 0), memory_space=pltpu.VMEM)
+    taspec = pl.BlockSpec((1, Lt, D), lambda b, w, h: (0, 0, 0), memory_space=pltpu.VMEM)
+    mspec = pl.BlockSpec((1, 1, S), lambda b, w, h: (w, 0, 0), memory_space=pltpu.VMEM)
+    nspec = pl.BlockSpec((4, D), lambda b, w, h: (0, 0), memory_space=pltpu.VMEM)
 
     ovid, otxt = pl.pallas_call(
-        functools.partial(_kernel, scale=scale, rope_txt=rope_txt),
-        grid=(B, H, nW),
-        in_specs=[vspec, vspec, vspec, tspec, tspec, tspec, aspec, aspec, taspec, taspec, mspec],
+        functools.partial(
+            _kernel, scale=scale, rope_txt=rope_txt, qk_norm=qk_norm, eps=eps
+        ),
+        grid=(B, nW, H),
+        in_specs=[vspec, vspec, vspec, tspec, tspec, tspec, aspec, aspec, taspec, taspec, mspec, nspec],
         out_specs=(
-            pl.BlockSpec((1, 1, 1, S, D), lambda b, h, w: (b, h, w, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, Lt, D), lambda b, h, w: (b, h, w, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, S, D), lambda b, w, h: (b, h, w, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, Lt, D), lambda b, w, h: (b, h, w, 0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, H, nW, S, D), vid_qkv.dtype),
@@ -149,7 +187,7 @@ def fused_window_attention(
             bytes_accessed=2 * B * H * nW * (S + Lt) * D * 4,
             transcendentals=B * H * nW * (S + Lt) * (S + Lt),
         ),
-    )(vq, vk, vv, tq, tk, tv, cos, sin, tcos, tsin, mask)
+    )(vq, vk, vv, tq, tk, tv, cos, sin, tcos, tsin, mask, norms)
     return ovid, otxt
 
 
@@ -161,6 +199,9 @@ def fused_window_attention_sharded(
     valid: jnp.ndarray,  # [nW, S]
     rope_txt: bool,
     mesh: jax.sharding.Mesh,
+    norms: Optional[jnp.ndarray] = None,
+    qk_norm: bool = False,
+    eps: float = 1e-5,
     seq: bool = True,
     tensor: bool = True,
     interpret: Optional[bool] = None,
@@ -186,10 +227,13 @@ def fused_window_attention_sharded(
     ns = mesh.shape[AXIS_SEQ] if seq else 1
     nt = mesh.shape[AXIS_TENSOR] if tensor else 1
     nd = mesh.shape[AXIS_DATA]
+    if norms is None:
+        norms = jnp.ones((4, D), jnp.float32)
     if H % nt != 0 or B % nd != 0:
         # heads/batch don't split cleanly -> single-program fallback
         return fused_window_attention(
-            vid_qkv, txt_qkv, vid_angles, txt_angles, valid, rope_txt, interpret
+            vid_qkv, txt_qkv, vid_angles, txt_angles, valid, rope_txt,
+            norms, qk_norm, eps, interpret,
         )
 
     pad_w = (-nW) % ns
@@ -206,15 +250,18 @@ def fused_window_attention_sharded(
         P(s_ax, None, None),  # vid_angles
         P(None, None),  # txt_angles (replicated)
         P(s_ax, None),  # valid
+        P(None, None),  # norms (replicated)
     )
     out_specs = (
         P(AXIS_DATA, t_ax, s_ax, None, None),  # ovid
         P(AXIS_DATA, t_ax, s_ax, None, None),  # otxt
     )
 
-    def local(vqkv, tqkv, vang, tang, vld):
-        return fused_window_attention(vqkv, tqkv, vang, tang, vld, rope_txt, interpret)
+    def local(vqkv, tqkv, vang, tang, vld, nrm):
+        return fused_window_attention(
+            vqkv, tqkv, vang, tang, vld, rope_txt, nrm, qk_norm, eps, interpret
+        )
 
     f = jax.shard_map(local, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
                       check_vma=False)
-    return f(vid_qkv, txt_qkv, vid_angles, txt_angles, valid)
+    return f(vid_qkv, txt_qkv, vid_angles, txt_angles, valid, norms)
