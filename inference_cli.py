@@ -259,7 +259,11 @@ def main(argv: Optional[List[str]] = None) -> int:
         n_frames = 1
         print(f"Saved {out_path}")
     elif kind == "video":
-        reader = vio.VideoReader(args.input)
+        # uint8 ingestion: raw decoder bytes go straight to the device and
+        # are scaled in-program (ops/resize.py:to_f01) — 1 B/px uplink and
+        # no host float conversion (the reference converts to fp32 on host,
+        # reference inference_cli.py:151-157).
+        reader = vio.VideoReader(args.input, dtype=np.uint8)
         if args.skip_first_frames:
             reader.seek(args.skip_first_frames)
         fps = args.fps or reader.fps

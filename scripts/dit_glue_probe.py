@@ -157,15 +157,19 @@ def components():
 
 
 def main():
+    stages = set(sys.argv[1:]) or {"3b", "7b", "components"}
     log("start", time.strftime("%Y-%m-%d %H:%M:%S"))
     s = sentinel()
     if s > 0.12:
         log("window_hot", True)
     from seedvr2_tpu.config import dit_3b, dit_7b
 
-    one_step(dit_3b, "step3b_int8_s", (1, 2, 136, 240, 16))
-    one_step(dit_7b, "step7b_int8_s", (1, 2, 136, 240, 16))
-    components()
+    if "3b" in stages:
+        one_step(dit_3b, "step3b_int8_s", (1, 2, 136, 240, 16))
+    if "7b" in stages:
+        one_step(dit_7b, "step7b_int8_s", (1, 2, 136, 240, 16))
+    if "components" in stages:
+        components()
     sentinel()
     with open("/tmp/dit_glue_probe.json", "w") as f:
         json.dump(REPORT, f, indent=1)

@@ -65,12 +65,17 @@ def write_image(path: str, frame01: np.ndarray) -> None:
 
 
 class VideoReader:
-    def __init__(self, path: str):
+    def __init__(self, path: str, dtype=np.float32):
+        """``dtype=np.uint8`` returns raw decoder bytes (RGB order, no host
+        float conversion) — the pipeline scales them on device
+        (ops/resize.py:to_f01), so the uplink carries 1 B/px instead of 4
+        and the per-frame host astype/divide disappears."""
         import cv2
 
         self.cap = cv2.VideoCapture(path)
         if not self.cap.isOpened():
             raise FileNotFoundError(path)
+        self.dtype = np.dtype(dtype)
         self.fps = self.cap.get(cv2.CAP_PROP_FPS) or 30.0
         self.total_frames = int(self.cap.get(cv2.CAP_PROP_FRAME_COUNT))
         self.width = int(self.cap.get(cv2.CAP_PROP_FRAME_WIDTH))
@@ -82,17 +87,21 @@ class VideoReader:
         self.cap.set(cv2.CAP_PROP_POS_FRAMES, frame_idx)
 
     def read(self, n: Optional[int] = None) -> np.ndarray:
-        """Read up to n frames -> [T, H, W, 3] float32 [0,1] RGB."""
+        """Read up to n frames -> [T, H, W, 3] RGB: float32 [0,1] by
+        default, raw uint8 when constructed with dtype=np.uint8."""
         import cv2
 
+        u8 = self.dtype == np.uint8
         frames = []
         while n is None or len(frames) < n:
             ok, frame = self.cap.read()
             if not ok:
                 break
-            frames.append(frameops.u8_to_f32_rgb(frame, swap_rb=True))
+            # BGR -> RGB; the reversed view is materialized by np.stack.
+            frames.append(frame[..., ::-1] if u8
+                          else frameops.u8_to_f32_rgb(frame, swap_rb=True))
         if not frames:
-            return np.zeros((0, self.height, self.width, 3), np.float32)
+            return np.zeros((0, self.height, self.width, 3), self.dtype)
         return np.stack(frames)
 
     def chunks(self, chunk_size: int, overlap: int = 0) -> Iterator[np.ndarray]:

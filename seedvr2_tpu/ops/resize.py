@@ -101,6 +101,16 @@ def resize_video(video: jnp.ndarray, size: Tuple[int, int], method: str = "torch
     return out.astype(video.dtype)
 
 
+def to_f01(v: jnp.ndarray) -> jnp.ndarray:
+    """Promote device frames to float32 [0,1]. uint8 inputs are scaled by
+    1/255 IN-PROGRAM — the video path uploads raw decoder bytes (1 B/px
+    instead of 2-4), and `u8.astype(f32)/255` on device equals the host
+    conversion the fp32 path performs (io/frameops.py), so numerics follow
+    the same [0,1] contract either way."""
+    f = v.astype(jnp.float32)
+    return f / 255.0 if v.dtype == jnp.uint8 else f
+
+
 def divisible_pad(video: jnp.ndarray, factor: int = 16) -> jnp.ndarray:
     """Zero-pad H/W up to a multiple of `factor` (bottom/right), lossless
     (reference: divisible_crop.py:43-80 — padding replaced cropping)."""

@@ -87,10 +87,12 @@ def generate_multichip(
     write_idx = 0
     for spec in specs:
         batch = np.stack([batching.prepare_batch(segs[i], spec) for i in range(n)])
-        # [n, T', H, W, 3] f16 sharded over data -> whole per-spec chain as
-        # ONE SPMD program (transform/noise/encode/DiT/decode/color/u16 —
+        # [n, T', H, W, 3] u8/f16 sharded over data -> whole per-spec chain
+        # as ONE SPMD program (transform/noise/encode/DiT/decode/color/u16 —
         # Runner.fused_segments); only uint16 frames come back.
-        fr16 = jax.device_put(jnp.asarray(batch.astype(np.float16)), shard)
+        from .phases import _upload_frames
+
+        fr16 = jax.device_put(_upload_frames(batch), shard)
         key_noise, sub = jax.random.split(key_noise)
         t_real = spec.ori_length
         u16 = runner.fused_segments(fr16, t_real, true_h, true_w, sub, cfg.seed)

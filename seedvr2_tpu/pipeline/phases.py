@@ -63,18 +63,29 @@ from functools import lru_cache
 
 @lru_cache(maxsize=32)
 def _transform_jit(resolution: int, max_resolution: int):
+    from ..ops.resize import to_f01
+
     return jax.jit(
-        lambda v: pipeline_transform(v.astype(jnp.float32), resolution, max_resolution)
+        lambda v: pipeline_transform(to_f01(v), resolution, max_resolution)
     )
 
 
+def _upload_frames(rgb: np.ndarray) -> jnp.ndarray:
+    """Host frames -> device, minimizing link bytes: uint8 decoder output
+    uploads raw (1 B/px, scaled in-program by ops/resize.py:to_f01); float
+    frames cross as float16 (half the bytes, >10-bit fidelity) and are
+    widened on device."""
+    if not isinstance(rgb, np.ndarray):
+        return rgb
+    if rgb.dtype == np.uint8:
+        return jnp.asarray(rgb)
+    return jnp.asarray(rgb.astype(np.float16))
+
+
 def _transform_batch(cfg: PipelineConfig, rgb: np.ndarray) -> jnp.ndarray:
-    """[T, H, W, 3] float in [0,1] -> [T, H', W', 3] in [-1,1] on device.
-    Frames cross the host link as float16 (half the bytes, >10-bit fidelity)
-    and are widened on device; resize+pad+normalize run as one executable."""
-    if isinstance(rgb, np.ndarray):
-        rgb = jnp.asarray(rgb.astype(np.float16))
-    return _transform_jit(cfg.resolution, cfg.max_resolution)(rgb)
+    """[T, H, W, 3] float in [0,1] (or uint8) -> [T, H', W', 3] in [-1,1]
+    on device; resize+pad+normalize run as one executable."""
+    return _transform_jit(cfg.resolution, cfg.max_resolution)(_upload_frames(rgb))
 
 
 @jax.jit
@@ -354,7 +365,7 @@ def decode_and_postprocess_fused(
                 ref_transformed = True
             else:
                 video = batching.prepare_batch(images, spec)
-                ref16 = jnp.asarray(video[..., :3].astype(np.float16))
+                ref16 = _upload_frames(video[..., :3])
         out_u16 = runner.finalize_batch(
             dec, ref16, ori, true_h, true_w, ref_transformed=ref_transformed
         )
@@ -428,7 +439,7 @@ def generate_streaming(
         debug.start_timer(f"batch_{bi+1}")
         video = batching.prepare_batch(images, spec)
         key_noise, sub = jax.random.split(key_noise)
-        fr16 = jnp.asarray(video[..., :3].astype(np.float16))
+        fr16 = _upload_frames(video[..., :3])
         u16 = runner.fused_batch(fr16, spec.ori_length, true_h, true_w, sub, cfg.seed)
         if pending is not None:
             flush(pending)

@@ -368,8 +368,10 @@ class Runner:
         method = c.color_correction
 
         def f(dit_params, vae_params, fr16, txt, nkey, rng, plan_args):
+            from ..ops.resize import to_f01
+
             transform = lambda v: pipeline_transform(
-                v.astype(jnp.float32), c.resolution, c.max_resolution
+                to_f01(v), c.resolution, c.max_resolution
             )
             tv = jax.vmap(transform)(fr16) if batched else transform(fr16)
             video = tv
@@ -513,7 +515,7 @@ class Runner:
         if fn is None:
             cfg = self.cfg
             from ..ops import color as color_ops
-            from ..ops.resize import pipeline_transform
+            from ..ops.resize import pipeline_transform, to_f01
 
             def _fn(dec, ref):
                 x = dec[0, :ori, :true_h, :true_w].astype(jnp.float32)
@@ -522,7 +524,7 @@ class Runner:
                         style = ref.astype(jnp.float32)[:ori, :true_h, :true_w]
                     else:
                         style = pipeline_transform(
-                            ref.astype(jnp.float32), cfg.resolution, cfg.max_resolution
+                            to_f01(ref), cfg.resolution, cfg.max_resolution
                         )[:ori, :true_h, :true_w]
                     content = x.transpose(0, 3, 1, 2)
                     style = style.transpose(0, 3, 1, 2)

@@ -331,3 +331,45 @@ def test_packed_output_phase_wise_path():
     packed = phases.generate(runner, frames, packed=True)
     assert packed.dtype == np.uint16
     np.testing.assert_array_equal(packed, (ref * 65535.0 + 0.5).astype(np.uint16))
+
+
+def test_uint8_input_matches_float():
+    """uint8 ingestion (raw decoder bytes scaled on device by
+    ops/resize.py:to_f01) must match the float path on BOTH pipelines: the
+    same pixel values enter the same transform, only the transfer dtype
+    differs (u8 exact vs f16-rounded upload -> small tolerance)."""
+    import dataclasses
+
+    runner, cfg = _make_runner(color_correction="wavelet")
+    rng = np.random.RandomState(3)
+    u8 = (rng.rand(5, 24, 20, 3) * 255).round().astype(np.uint8)
+    f32 = u8.astype(np.float32) / 255.0
+
+    out_u8 = phases.generate(runner, u8, cfg)
+    out_f32 = phases.generate(runner, f32, cfg)
+    assert out_u8.shape == out_f32.shape
+    np.testing.assert_allclose(out_u8, out_f32, atol=5e-3)
+
+    # phase-wise path too (fused off)
+    cfg_off = dataclasses.replace(cfg, fused_pipeline="off")
+    runner.cfg = cfg_off
+    runner.invalidate_compiled()
+    ph_u8 = phases.generate(runner, u8, cfg_off)
+    np.testing.assert_allclose(ph_u8, out_u8, atol=5e-3)
+
+
+def test_video_reader_uint8_roundtrip(tmp_path):
+    """VideoReader(dtype=uint8) returns the same pixels as the float reader
+    (exactly: the float path is u8/255)."""
+    from seedvr2_tpu.io import video as vio
+
+    rng = np.random.RandomState(5)
+    fr = rng.rand(6, 16, 24, 3).astype(np.float32)
+    p = str(tmp_path / "in.mp4")
+    w = vio.make_video_writer(p, 24, 16, 10.0)
+    w.write(fr)
+    w.close()
+    a = vio.VideoReader(p).read()
+    b = vio.VideoReader(p, dtype=np.uint8).read()
+    assert b.dtype == np.uint8 and a.dtype == np.float32
+    np.testing.assert_allclose(a, b.astype(np.float32) / 255.0, atol=1e-6)
