@@ -116,7 +116,10 @@ def synthetic_quantized_dit_params(cfg, seed: int = 0, dense_dtype="bfloat16"):
             w = tree.get("w")
             if quantize and w is not None and hasattr(w, "ndim") and w.ndim >= 2 and int(np.prod(w.shape)) >= _QUANT_MIN_SIZE:
                 out = {k: walk(v, quantize) for k, v in tree.items() if k != "w"}
-                out["w_q"] = rng.randint(-100, 100, w.shape).astype(np.int8)
+                # dtype=int8 generates natively — the default int64 path
+                # materializes 8 B/elem transients (~53 GB for 7B) and
+                # dominates bench/dryrun setup time.
+                out["w_q"] = rng.randint(-100, 100, w.shape, dtype=np.int8)
                 sshape = w.shape[1:] if w.ndim == 3 else (w.shape[-1],)
                 out["w_s"] = np.full(sshape, 2e-4, np.float32)
                 return out

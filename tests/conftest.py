@@ -23,6 +23,19 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")  # effective when jax IS pre-imported
 jax.config.update("jax_enable_x64", False)
 
+# Persistent XLA:CPU compilation cache: the suite compiles the same tiny
+# pipeline programs from dozens of independent Runner/jit instances (and
+# again on every pytest invocation); the persistent cache dedupes them by
+# HLO, cutting suite wall time roughly in half. Same-machine AOT reuse —
+# the loader's machine-feature E-logs are a known cosmetic artifact of
+# tuning flags (prefer-no-scatter) being compared as ISA features.
+# Opt out with SEEDVR2_TEST_NO_JAX_CACHE=1.
+if os.environ.get("SEEDVR2_TEST_NO_JAX_CACHE") != "1":
+    jax.config.update("jax_compilation_cache_dir", "/tmp/seedvr2_jax_test_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
 _devs = jax.devices()
 if len(_devs) < 8 or _devs[0].platform != "cpu":
     raise RuntimeError(
