@@ -171,11 +171,12 @@ def main() -> int:
     # speed is identical to bf16 at these dims (dequant rides the GEMM;
     # docs/PERFORMANCE.md), and the freed HBM is what admits the
     # full-height decode tiles above.
-    from seedvr2_tpu.models.dit.nadit import stack_blocks
-    from seedvr2_tpu.ops.quant import synthetic_quantized_dit_params
+    # Generated ON DEVICE in the stacked scan layout: the host-side builder
+    # costs ~4.5 min of numpy + a 3.3GB upload at the tunnel's ~40MB/s
+    # before the first measurement (scripts/ bench_diag, round 3).
+    from seedvr2_tpu.ops.quant import synthetic_quantized_dit_params_on_device
 
-    dit_params = jax.tree.map(jnp.asarray, synthetic_quantized_dit_params(cfg.dit))
-    dit_params = stack_blocks(dit_params, cfg.dit)
+    dit_params = synthetic_quantized_dit_params_on_device(cfg.dit)
     vae_params = init_vae_params(cfg.vae, jax.random.PRNGKey(1), dtype=dtype)
     rng = np.random.RandomState(0)
     text = (rng.randn(77, cfg.dit.txt_in_dim) * 0.02).astype(np.float32)
@@ -226,14 +227,10 @@ def main() -> int:
             runner.dit_params = None
             runner._dit_step_cache.clear()
             cfg7 = cfg.replace(dit=dit_7b())
-            # int8 random-weights tree built host-side (values don't change
-            # the math cost), uploaded, then stacked to the scan layout the
-            # loader produces for real checkpoints
-            from seedvr2_tpu.models.dit.nadit import stack_blocks
-            from seedvr2_tpu.ops.quant import synthetic_quantized_dit_params
-
-            p7 = jax.tree.map(jnp.asarray, synthetic_quantized_dit_params(cfg7.dit))
-            p7 = stack_blocks(p7, cfg7.dit)
+            # int8 random weights generated directly on device in the scan
+            # layout (values don't change the math cost); the host-side
+            # build+upload of the 7.2GB tree took minutes via the tunnel
+            p7 = synthetic_quantized_dit_params_on_device(cfg7.dit)
             r7 = Runner(cfg7, p7, vae_params, text, debug=Debug(False))
             latent = jnp.asarray(
                 rng.randn(1, t_lat, H_out // 8, W_out // 8, 16).astype(np.float32) * 0.5, dtype

@@ -132,3 +132,76 @@ def synthetic_quantized_dit_params(cfg, seed: int = 0, dense_dtype="bfloat16"):
     out = {k: walk(v, False) for k, v in dense.items() if k != "blocks"}
     out["blocks"] = [walk(b, True) for b in dense["blocks"]]
     return out
+
+
+def _abstract_synthetic(cfg, dense_dtype="bfloat16"):
+    """ShapeDtypeStruct tree with the int8-quantized structure of
+    synthetic_quantized_dit_params (same walk, no values)."""
+    from ..models.dit.nadit import init_params
+
+    dense = jax.eval_shape(
+        lambda k: init_params(cfg, k, dtype=jnp.dtype(dense_dtype)),
+        jax.random.PRNGKey(0),
+    )
+    SDS = jax.ShapeDtypeStruct
+
+    def walk(tree, quantize):
+        if isinstance(tree, dict):
+            w = tree.get("w")
+            if quantize and w is not None and getattr(w, "ndim", 0) >= 2 and int(np.prod(w.shape)) >= _QUANT_MIN_SIZE:
+                out = {k: walk(v, quantize) for k, v in tree.items() if k != "w"}
+                out["w_q"] = SDS(w.shape, jnp.int8)
+                sshape = w.shape[1:] if w.ndim == 3 else (w.shape[-1],)
+                out["w_s"] = SDS(sshape, jnp.float32)
+                return out
+            return {k: walk(v, quantize) for k, v in tree.items()}
+        if isinstance(tree, list):
+            return [walk(v, quantize) for v in tree]
+        return SDS(tree.shape, tree.dtype)
+
+    out = {k: walk(v, False) for k, v in dense.items() if k != "blocks"}
+    out["blocks"] = [walk(b, True) for b in dense["blocks"]]
+    return out
+
+
+def synthetic_quantized_dit_params_on_device(
+    cfg, seed: int = 0, dense_dtype="bfloat16", stacked: bool = True
+):
+    """Device-resident variant of synthetic_quantized_dit_params: the whole
+    tree is produced by ONE jitted program on the default device, so no
+    multi-GB host materialization and no weight upload happen at all (the
+    host-side path costs minutes of numpy time plus a 3.3GB/7.2GB transfer
+    at the dev tunnel's ~40MB/s — it dominated bench setup). With
+    ``stacked=True`` leaves are generated directly in the scan layout of
+    ``stack_blocks`` so the unstacked copy never exists and peak HBM is one
+    tree (the 7B int8 tree alone is 7.2GB; tree + stacked copy would not
+    leave room for activations on a 16GB chip)."""
+    abs_tree = _abstract_synthetic(cfg, dense_dtype)
+    if stacked:
+        from ..models.dit.nadit import stack_blocks
+
+        abs_tree = jax.eval_shape(lambda t: stack_blocks(t, cfg), abs_tree)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(abs_tree)
+
+    def leaf_name(path):
+        last = path[-1]
+        return str(getattr(last, "key", last))
+
+    def build():
+        key0 = jax.random.PRNGKey(seed)
+        leaves = []
+        for i, (path, sds) in enumerate(flat):
+            k = jax.random.fold_in(key0, i)
+            name = leaf_name(path)
+            if name == "w_q":
+                leaves.append(jax.random.randint(k, sds.shape, -100, 100, jnp.int8))
+            elif name == "w_s":
+                leaves.append(jnp.full(sds.shape, 2e-4, jnp.float32))
+            else:
+                leaves.append(
+                    (jax.random.uniform(k, sds.shape, jnp.float32) * 0.02 - 0.01)
+                    .astype(sds.dtype)
+                )
+        return jax.tree_util.tree_unflatten(treedef, leaves)
+
+    return jax.jit(build)()

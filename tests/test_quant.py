@@ -81,3 +81,40 @@ def test_synthetic_quantized_tree_matches_real_structure():
         assert jax.tree_util.keystr(pr) == jax.tree_util.keystr(ps)
         assert tuple(lr.shape) == tuple(ls.shape), (jax.tree_util.keystr(pr), lr.shape, ls.shape)
         assert np.dtype(lr.dtype) == np.dtype(ls.dtype), jax.tree_util.keystr(pr)
+
+
+def test_on_device_synthetic_matches_host_tree():
+    """synthetic_quantized_dit_params_on_device must produce the same tree
+    (paths/shapes/dtypes) as the host builder, both unstacked and in the
+    stacked scan layout — it replaces the host path in bench/dryrun setup."""
+    import jax
+
+    from seedvr2_tpu.config import dit_tiny
+    from seedvr2_tpu.models.dit.nadit import stack_blocks
+    from seedvr2_tpu.ops.quant import (
+        synthetic_quantized_dit_params,
+        synthetic_quantized_dit_params_on_device,
+    )
+
+    cfg = dit_tiny()
+    host = synthetic_quantized_dit_params(cfg)
+    dev = synthetic_quantized_dit_params_on_device(cfg, stacked=False)
+    hf = jax.tree.leaves_with_path(host)
+    df = jax.tree.leaves_with_path(dev)
+    assert len(hf) == len(df)
+    for (ph, lh), (pd, ld) in zip(hf, df):
+        assert ph == pd
+        assert lh.shape == ld.shape, (ph, lh.shape, ld.shape)
+        assert str(jnp.asarray(lh).dtype) == str(ld.dtype), ph
+
+    host_stacked = stack_blocks(
+        jax.tree.map(jnp.asarray, synthetic_quantized_dit_params(cfg)), cfg
+    )
+    dev_stacked = synthetic_quantized_dit_params_on_device(cfg, stacked=True)
+    hs = jax.tree.leaves_with_path(host_stacked)
+    ds = jax.tree.leaves_with_path(dev_stacked)
+    assert len(hs) == len(ds)
+    for (ph, lh), (pd, ld) in zip(hs, ds):
+        assert ph == pd
+        assert lh.shape == ld.shape, (ph, lh.shape, ld.shape)
+        assert lh.dtype == ld.dtype, ph
