@@ -182,7 +182,10 @@ def main() -> int:
     text = (rng.randn(77, cfg.dit.txt_in_dim) * 0.02).astype(np.float32)
     runner = Runner(cfg, dit_params, vae_params, text, debug=Debug(False))
 
-    frames = rng.rand(FRAMES, IN_H, IN_W, 3).astype(np.float32)
+    # uint8 input: what a video decoder hands the pipeline (the reference
+    # ingests cv2's uint8 frames, inference_cli.py). 1 B/px crosses the
+    # link; scaling to [0,1] happens in-program (_upload_frames/to_f01).
+    frames = rng.randint(0, 256, size=(FRAMES, IN_H, IN_W, 3)).astype(np.uint8)
 
     sentinel_s, window = run_sentinel(jax, jnp, np)
 
