@@ -122,6 +122,53 @@ def components():
     best, ts = timeit(jax.jit(gather), vqkv_flat)
     log("window_gather_hm_s", {"s": round(best, 4), "all": ts})
 
+    # --- prospective layout: gather TOKENS (wide 6KB rows) before the QKV
+    # projection, then project per-window. Trades 1.24x padded GEMM FLOPs
+    # for 3x fewer gathered bytes in 24x wider rows. Compare
+    # (gather_tokens_wide + qkv_windowed) vs (qkv_flat + window_gather_hm).
+    D = H * hd
+    x_flat = jnp.asarray(rng.rand(1, L, D).astype(np.float32) * 0.1, jnp.bfloat16)
+    wq = jnp.asarray(rng.rand(D, 3 * D).astype(np.float32) * 0.02, jnp.bfloat16)
+
+    def gather_tokens(x):
+        return jnp.take(x, idx, axis=1)  # [1, nW*mL, D]
+
+    best, ts = timeit(jax.jit(gather_tokens), x_flat)
+    log("gather_tokens_wide_s", {"s": round(best, 4), "all": ts})
+
+    x_win = jax.jit(gather_tokens)(x_flat)
+
+    def qkv_windowed(x, w):  # [1, nW*mL, D] -> [1, 3, H, nW, mL, hd]
+        y = (x.reshape(-1, D) @ w).reshape(1, nW, mL, 3, H, hd)
+        return y.transpose(0, 3, 4, 1, 2, 5)
+
+    best, ts = timeit(jax.jit(qkv_windowed), x_win, wq)
+    log("qkv_windowed_s", {"s": round(best, 4), "all": ts})
+
+    def qkv_flat(x, w):  # today's path: project in token order, head-major
+        return jnp.einsum("bld,dx->bxl", x, w).reshape(1, 3, H, hd, L).transpose(0, 1, 2, 4, 3)
+
+    best, ts = timeit(jax.jit(qkv_flat), x_flat, wq)
+    log("qkv_flat_hm_s", {"s": round(best, 4), "all": ts})
+
+    # scatter side: out-proj per window then scatter wide rows back
+    wo = jnp.asarray(rng.rand(D, D).astype(np.float32) * 0.02, jnp.bfloat16)
+    o_win = jnp.asarray(rng.rand(1, H, nW * mL, hd).astype(np.float32) * 0.1, jnp.bfloat16)
+
+    def outproj_then_scatter(o, w):
+        y = o.transpose(0, 2, 1, 3).reshape(-1, D) @ w  # [nW*mL, D]
+        return jnp.take(y.reshape(1, nW * mL, D), inv, axis=1)
+
+    best, ts = timeit(jax.jit(outproj_then_scatter), o_win, wo)
+    log("outproj_scatter_wide_s", {"s": round(best, 4), "all": ts})
+
+    def scatter_then_outproj(o, w):  # today's path
+        y = jnp.take(o, inv, axis=2)  # [1, H, L, hd]
+        return jnp.einsum("bhld,hdD->blD", y, w.reshape(H, hd, D))
+
+    best, ts = timeit(jax.jit(scatter_then_outproj), o_win, wo)
+    log("scatter_outproj_hm_s", {"s": round(best, 4), "all": ts})
+
     ovid = jnp.asarray(rng.rand(1, H, nW * mL, hd).astype(np.float32) * 0.1, jnp.bfloat16)
 
     def scatter(o):
