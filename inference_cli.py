@@ -259,112 +259,134 @@ def main(argv: Optional[List[str]] = None) -> int:
         n_frames = 1
         print(f"Saved {out_path}")
     elif kind == "video":
-        # uint8 ingestion: raw decoder bytes go straight to the device and
-        # are scaled in-program (ops/resize.py:to_f01) — 1 B/px uplink and
-        # no host float conversion (the reference converts to fp32 on host,
-        # reference inference_cli.py:151-157).
-        reader = vio.VideoReader(args.input, dtype=np.uint8)
-        if args.skip_first_frames:
-            reader.seek(args.skip_first_frames)
-        fps = args.fps or reader.fps
         out_path = args.output or _default_out(args.input, "mp4")
-        chunk = args.chunk_size or (args.load_cap or reader.total_frames)
-
-        manifest = None
-        start_chunk = 0
-        if args.chunk_size and args.output_format == "video" and args.temporal_overlap == 0:
-            from seedvr2_tpu.io.resume import ResumeManifest
-
-            total = reader.total_frames - args.skip_first_frames
-            if args.resume:
-                manifest = ResumeManifest.load_if_matching(out_path, args.input, total, chunk)
-                if manifest:
-                    start_chunk = manifest.chunks_done
-                    reader.seek(args.skip_first_frames + start_chunk * chunk)
-                    n_frames = start_chunk * chunk
-                    print(f"Resuming from chunk {start_chunk} ({n_frames} frames done)")
-            if manifest is None:
-                manifest = ResumeManifest(out_path, args.input, total, chunk)
-
-        writer = None
-        ci = start_chunk
-        ov = args.temporal_overlap if args.chunk_size else 0
-        pending_tail = None  # last `ov` output frames, held back for seam blending
-
-        def emit(arr):
-            nonlocal writer, n_frames
-            if len(arr) == 0:
-                return
-            if args.output_format == "png":
-                vio.write_png_sequence(os.path.splitext(out_path)[0], arr, start_index=n_frames)
-            elif manifest is not None:
-                seg = manifest.segment_path(ci)
-                w = vio.make_video_writer(seg, arr.shape[2], arr.shape[1], fps)
-                w.write(arr[..., :3])
-                w.close()
-                manifest.mark_done(ci, seg)
-            else:
-                if writer is None:
-                    writer = vio.make_video_writer(
-                        out_path, arr.shape[2], arr.shape[1], fps, audio_source=args.input
-                    )
-                writer.write(arr[..., :3])
-            n_frames += len(arr)
-
-        for frames in reader.chunks(chunk, ov):
-            if args.load_cap and n_frames >= args.load_cap:
-                break
-            out = np.asarray(process_frames(runner, cfg, frames, debug, mesh, args.tile_debug))
-            if pending_tail is not None:
-                # Chunk seam: the first `ov` outputs re-render the previous
-                # chunk's held-back tail frames — Hann-blend, emit once
-                # (reference: inference_cli.py:678-709, 1242-1277).
-                from seedvr2_tpu.ops.blending import overlap_weights
-
-                k = min(ov, len(out), len(pending_tail))
-                w_prev = overlap_weights(k).reshape(k, 1, 1, 1).astype(np.float32)
-                blend = (
-                    pending_tail[-k:].astype(np.float32) * w_prev
-                    + out[:k].astype(np.float32) * (1.0 - w_prev)
-                )
-                if out.dtype != np.float32:  # packed pixels: round back
-                    blend = (blend + 0.5).astype(out.dtype)
-                out = np.concatenate([blend.astype(out.dtype), out[k:]], axis=0)
-            if ov > 0 and len(frames) == chunk:
-                # More chunks may follow: hold back the tail for blending.
-                pending_tail, out = out[-ov:], out[:-ov]
-            else:
-                pending_tail = None
-            emit(out)
-            ci += 1
-            if not args.chunk_size:
-                break
-        if pending_tail is not None:
-            emit(pending_tail)
-        if writer is not None:
-            writer.close()
-        if manifest is not None:
-            out_path = manifest.finalize()
-        reader.close()
-        print(f"Saved {out_path}")
-    else:  # directory
+        n_frames = _process_video(args, runner, cfg, debug, mesh, args.input, out_path)
+    else:  # directory: videos AND images, like the reference's batch mode
+        # (reference: inference_cli.py:280-296 VIDEO_EXTENSIONS | IMAGE_EXTENSIONS)
         files = sorted(
             f for f in os.listdir(args.input)
-            if os.path.splitext(f)[1].lower() in vio.IMAGE_EXTS
+            if os.path.splitext(f)[1].lower() in (vio.IMAGE_EXTS | vio.VIDEO_EXTS)
         )
         out_dir = args.output or (args.input.rstrip("/") + "_upscaled")
         os.makedirs(out_dir, exist_ok=True)
+        n_files = 0
         for f in files:
-            img = vio.read_image(os.path.join(args.input, f))
-            out = process_frames(runner, cfg, img[None], debug)
-            vio.write_image(os.path.join(out_dir, f), out[0])
-            n_frames += 1
-        print(f"Saved {n_frames} images to {out_dir}")
+            src = os.path.join(args.input, f)
+            base, ext = os.path.splitext(f)
+            if ext.lower() in vio.IMAGE_EXTS:
+                img = vio.read_image(src)
+                out = process_frames(runner, cfg, img[None], debug)
+                vio.write_image(os.path.join(out_dir, f), out[0])
+                n_frames += 1
+            else:
+                # original filename, .mp4 container (reference:
+                # generate_output_path from_directory=True, :395-419)
+                n_frames += _process_video(
+                    args, runner, cfg, debug, mesh, src, os.path.join(out_dir, base + ".mp4")
+                )
+            n_files += 1
+        print(f"Saved {n_files} files to {out_dir}")
 
     dt = time.time() - t0
     if n_frames:
         print(f"Processed {n_frames} frames in {dt:.1f}s ({n_frames / dt:.2f} fps)")
     return 0
+
+
+def _process_video(args, runner, cfg, debug, mesh, in_path: str, out_path: str) -> int:
+    """Chunked/streaming upscale of one video file; returns frames written.
+
+    uint8 ingestion: raw decoder bytes go straight to the device and are
+    scaled in-program (ops/resize.py:to_f01) — 1 B/px uplink and no host
+    float conversion (the reference converts to fp32 on host, reference
+    inference_cli.py:151-157)."""
+    from seedvr2_tpu.io import video as vio
+
+    n_frames = 0
+    reader = vio.VideoReader(in_path, dtype=np.uint8)
+    if args.skip_first_frames:
+        reader.seek(args.skip_first_frames)
+    fps = args.fps or reader.fps
+    chunk = args.chunk_size or (args.load_cap or reader.total_frames)
+
+    manifest = None
+    start_chunk = 0
+    if args.chunk_size and args.output_format == "video" and args.temporal_overlap == 0:
+        from seedvr2_tpu.io.resume import ResumeManifest
+
+        total = reader.total_frames - args.skip_first_frames
+        if args.resume:
+            manifest = ResumeManifest.load_if_matching(out_path, in_path, total, chunk)
+            if manifest:
+                start_chunk = manifest.chunks_done
+                reader.seek(args.skip_first_frames + start_chunk * chunk)
+                n_frames = start_chunk * chunk
+                print(f"Resuming from chunk {start_chunk} ({n_frames} frames done)")
+        if manifest is None:
+            manifest = ResumeManifest(out_path, in_path, total, chunk)
+
+    writer = None
+    ci = start_chunk
+    ov = args.temporal_overlap if args.chunk_size else 0
+    pending_tail = None  # last `ov` output frames, held back for seam blending
+
+    def emit(arr):
+        nonlocal writer, n_frames
+        if len(arr) == 0:
+            return
+        if args.output_format == "png":
+            vio.write_png_sequence(os.path.splitext(out_path)[0], arr, start_index=n_frames)
+        elif manifest is not None:
+            seg = manifest.segment_path(ci)
+            w = vio.make_video_writer(seg, arr.shape[2], arr.shape[1], fps)
+            w.write(arr[..., :3])
+            w.close()
+            manifest.mark_done(ci, seg)
+        else:
+            if writer is None:
+                writer = vio.make_video_writer(
+                    out_path, arr.shape[2], arr.shape[1], fps, audio_source=in_path
+                )
+            writer.write(arr[..., :3])
+        n_frames += len(arr)
+
+    for frames in reader.chunks(chunk, ov):
+        if args.load_cap and n_frames >= args.load_cap:
+            break
+        out = np.asarray(process_frames(runner, cfg, frames, debug, mesh, args.tile_debug))
+        if pending_tail is not None:
+            # Chunk seam: the first `ov` outputs re-render the previous
+            # chunk's held-back tail frames — Hann-blend, emit once
+            # (reference: inference_cli.py:678-709, 1242-1277).
+            from seedvr2_tpu.ops.blending import overlap_weights
+
+            k = min(ov, len(out), len(pending_tail))
+            w_prev = overlap_weights(k).reshape(k, 1, 1, 1).astype(np.float32)
+            blend = (
+                pending_tail[-k:].astype(np.float32) * w_prev
+                + out[:k].astype(np.float32) * (1.0 - w_prev)
+            )
+            if out.dtype != np.float32:  # packed pixels: round back
+                blend = (blend + 0.5).astype(out.dtype)
+            out = np.concatenate([blend.astype(out.dtype), out[k:]], axis=0)
+        if ov > 0 and len(frames) == chunk:
+            # More chunks may follow: hold back the tail for blending.
+            pending_tail, out = out[-ov:], out[:-ov]
+        else:
+            pending_tail = None
+        emit(out)
+        ci += 1
+        if not args.chunk_size:
+            break
+    if pending_tail is not None:
+        emit(pending_tail)
+    if writer is not None:
+        writer.close()
+    if manifest is not None:
+        out_path = manifest.finalize()
+    reader.close()
+    print(f"Saved {out_path}")
+    return n_frames
 
 
 def _default_out(path: str, ext: str) -> str:

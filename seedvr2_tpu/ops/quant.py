@@ -165,7 +165,7 @@ def _abstract_synthetic(cfg, dense_dtype="bfloat16"):
 
 
 def synthetic_quantized_dit_params_on_device(
-    cfg, seed: int = 0, dense_dtype="bfloat16", stacked: bool = True
+    cfg, seed: int = 0, dense_dtype="bfloat16", stacked: bool = True, shardings_fn=None
 ):
     """Device-resident variant of synthetic_quantized_dit_params: the whole
     tree is produced by ONE jitted program on the default device, so no
@@ -175,7 +175,12 @@ def synthetic_quantized_dit_params_on_device(
     ``stacked=True`` leaves are generated directly in the scan layout of
     ``stack_blocks`` so the unstacked copy never exists and peak HBM is one
     tree (the 7B int8 tree alone is 7.2GB; tree + stacked copy would not
-    leave room for activations on a 16GB chip)."""
+    leave room for activations on a 16GB chip).
+
+    ``shardings_fn``, if given, maps the abstract (stacked) tree to a pytree
+    of NamedShardings used as the generator's out_shardings — leaves land
+    directly sharded across the mesh, skipping the unsharded materialization
+    and the device_put reshard (used by the multichip dryrun gate)."""
     abs_tree = _abstract_synthetic(cfg, dense_dtype)
     if stacked:
         from ..models.dit.nadit import stack_blocks
@@ -204,4 +209,6 @@ def synthetic_quantized_dit_params_on_device(
                 )
         return jax.tree_util.tree_unflatten(treedef, leaves)
 
+    if shardings_fn is not None:
+        return jax.jit(build, out_shardings=shardings_fn(abs_tree))()
     return jax.jit(build)()

@@ -90,6 +90,40 @@ def test_cli_video_end_to_end(tiny_model_dir, tmp_path):
     r.close()
 
 
+def test_cli_directory_mixed_media(tiny_model_dir, tmp_path):
+    """Directory batch mode processes videos AND images, keeping original
+    filenames in the _upscaled dir (reference: inference_cli.py:280-296
+    VIDEO_EXTENSIONS | IMAGE_EXTENSIONS; generate_output_path :395-419)."""
+    src = tmp_path / "batch"
+    src.mkdir()
+    rs = np.random.RandomState(3)
+    for name in ("a.mp4", "b.mp4"):
+        w = vio.make_video_writer(str(src / name), 24, 20, 10.0)
+        w.write((rs.rand(6, 20, 24, 3) > 0.5).astype(np.float32))
+        w.close()
+    vio.write_image(str(src / "c.png"), rs.rand(20, 24, 3).astype(np.float32))
+
+    rc = inference_cli.main(
+        [
+            str(src),
+            "--dit_model", "tiny_dit.safetensors",
+            "--vae_model", "tiny_vae.safetensors",
+            "--model_dir", str(tiny_model_dir),
+            "--resolution", "32",
+            "--color_correction", "none",
+            "--batch_size", "5",
+        ]
+    )
+    assert rc == 0
+    out_dir = str(src) + "_upscaled"
+    for name in ("a.mp4", "b.mp4"):
+        r = vio.VideoReader(os.path.join(out_dir, name))
+        assert r.total_frames == 6
+        r.close()
+    img = vio.read_image(os.path.join(out_dir, "c.png"))
+    assert img.shape[0] >= 26
+
+
 @pytest.mark.parametrize("n_in", [12, 14])  # 14: last chunk is exactly the carry
 def test_cli_chunked_overlap_frame_count(tiny_model_dir, tmp_path, n_in):
     """Chunked streaming with temporal overlap must emit each input frame
