@@ -41,6 +41,15 @@ BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", 2100))
 
 # --- reference-baseline derivation constants (auditable) ---
 RTX4090_TFLOPS = 165.0  # dense bf16/fp16 with FP32 accumulate
+H100_TFLOPS = 990.0  # SXM dense bf16 (no sparsity) — BASELINE.json's
+                     # north star is phrased against H100 fps, so both
+                     # denominators are derived and the STRICTER (higher
+                     # ref fps) one becomes the headline vs_baseline
+                     # (VERDICT r3 next #5). Note the hardware asymmetry
+                     # this bakes in: the measurement runs on ONE v5e
+                     # (~197 peak bf16 TFLOP/s), a 5x raw-FLOPs handicap
+                     # vs H100; the 4090 ratio is the like-for-like
+                     # consumer-tier comparison, both are printed.
 REF_DIT_MFU = 0.40  # flash-attn + torch.compile DiT (README.md:215,319)
 REF_CONV_MFU = 0.45  # cuDNN Conv3d at 128-512 channel VAE shapes
 REF_HOST_S = 0.5  # transforms, color fix, host IO
@@ -76,19 +85,27 @@ def _vae_conv_flops(T, H, W, cfg, tile=(512, 512), overlap=(64, 64), decode=True
 
 
 def ref_fps_estimate(cfg, T, H, W, tokens):
-    """frames/sec of the reference torch stack on an RTX 4090, derived from
-    FLOPs + documented MFU assumptions (see module docstring)."""
+    """frames/sec of the reference torch stack, derived from FLOPs +
+    documented MFU assumptions (see module docstring), on BOTH an RTX 4090
+    and an H100 (same MFUs, charitable to the reference on H100). Returns
+    (fps_4090, fps_h100, derivation_extras)."""
     dit_flops = 2.0 * 3.0e9 * tokens  # one forward, 2*P*L
     dec_flops = _vae_conv_flops(T, H, W, cfg)
     enc_flops = dec_flops * 0.35  # encoder is ~1/3 of decoder cost
-    t = (
-        dit_flops / (RTX4090_TFLOPS * 1e12 * REF_DIT_MFU)
-        + (dec_flops + enc_flops) / (RTX4090_TFLOPS * 1e12 * REF_CONV_MFU)
-        + REF_HOST_S
-    )
-    return T / t, {"dit_flops": dit_flops, "vae_flops": dec_flops + enc_flops,
-                   "assumed": {"tflops": RTX4090_TFLOPS, "dit_mfu": REF_DIT_MFU,
-                               "conv_mfu": REF_CONV_MFU, "host_s": REF_HOST_S}}
+
+    def fps_at(tflops):
+        t = (
+            dit_flops / (tflops * 1e12 * REF_DIT_MFU)
+            + (dec_flops + enc_flops) / (tflops * 1e12 * REF_CONV_MFU)
+            + REF_HOST_S
+        )
+        return T / t
+
+    return fps_at(RTX4090_TFLOPS), fps_at(H100_TFLOPS), {
+        "dit_flops": dit_flops, "vae_flops": dec_flops + enc_flops,
+        "assumed": {"tflops_4090": RTX4090_TFLOPS, "tflops_h100": H100_TFLOPS,
+                    "dit_mfu": REF_DIT_MFU, "conv_mfu": REF_CONV_MFU,
+                    "host_s": REF_HOST_S}}
 
 
 SENTINEL_CALM_S = 0.08  # 8-chained 2048^2 bf16 matmuls: ~0.027-0.030s in a
@@ -208,9 +225,18 @@ def main() -> int:
     H_out, W_out = 1088, 1920
     t_lat = (FRAMES - 1) // 4 + 1
     tokens = t_lat * (H_out // 8 // 2) * (W_out // 8 // 2)
-    ref_fps, deriv = ref_fps_estimate(cfg.vae, FRAMES, H_out, W_out, tokens)
+    ref_fps_4090, ref_fps_h100, deriv = ref_fps_estimate(
+        cfg.vae, FRAMES, H_out, W_out, tokens
+    )
+    # Headline vs_baseline uses the STRICTER (higher) derived reference fps;
+    # both ratios are printed so the consumer-tier comparison stays visible.
+    ref_fps = max(ref_fps_4090, ref_fps_h100)
 
-    extras = {"e2e_s_best": round(best, 3), "ref_fps_derived": round(ref_fps, 3),
+    extras = {"e2e_s_best": round(best, 3),
+              "ref_fps_derived_4090": round(ref_fps_4090, 3),
+              "ref_fps_derived_h100": round(ref_fps_h100, 3),
+              "vs_baseline_4090": round(fps / ref_fps_4090, 4),
+              "vs_baseline_h100": round(fps / ref_fps_h100, 4),
               "sentinel_s": sentinel_s, "window": window}
     extras.update({k: (round(v, 3) if isinstance(v, float) else v) for k, v in deriv.items()})
 

@@ -165,7 +165,12 @@ def _abstract_synthetic(cfg, dense_dtype="bfloat16"):
 
 
 def synthetic_quantized_dit_params_on_device(
-    cfg, seed: int = 0, dense_dtype="bfloat16", stacked: bool = True, shardings_fn=None
+    cfg,
+    seed: int = 0,
+    dense_dtype="bfloat16",
+    stacked: bool = True,
+    shardings_fn=None,
+    per_leaf: bool = False,
 ):
     """Device-resident variant of synthetic_quantized_dit_params: the whole
     tree is produced by ONE jitted program on the default device, so no
@@ -180,7 +185,14 @@ def synthetic_quantized_dit_params_on_device(
     ``shardings_fn``, if given, maps the abstract (stacked) tree to a pytree
     of NamedShardings used as the generator's out_shardings — leaves land
     directly sharded across the mesh, skipping the unsharded materialization
-    and the device_put reshard (used by the multichip dryrun gate)."""
+    and the device_put reshard (used by the multichip dryrun gate).
+
+    ``per_leaf=True`` generates each leaf as its own (blocking) jit call
+    instead of one whole-tree program. Values are identical (same fold_in
+    sequence). Needed on XLA:CPU under SPMD out_shardings, where buffer
+    assignment of the single whole-tree program materialized a 65GB tuple
+    and OOM-killed the 125GB gate host; on a real TPU the single program
+    fits 16GB HBM fine and amortizes dispatch, so it stays the default."""
     abs_tree = _abstract_synthetic(cfg, dense_dtype)
     if stacked:
         from ..models.dit.nadit import stack_blocks
@@ -192,23 +204,42 @@ def synthetic_quantized_dit_params_on_device(
         last = path[-1]
         return str(getattr(last, "key", last))
 
-    def build():
-        key0 = jax.random.PRNGKey(seed)
+    def gen_leaf(i, path, sds):
+        k = jax.random.fold_in(jax.random.PRNGKey(seed), i)
+        name = leaf_name(path)
+        if name == "w_q":
+            return jax.random.randint(k, sds.shape, -100, 100, jnp.int8)
+        if name == "w_s":
+            return jnp.full(sds.shape, 2e-4, jnp.float32)
+        return (jax.random.uniform(k, sds.shape, jnp.float32) * 0.02 - 0.01).astype(
+            sds.dtype
+        )
+
+    shardings = shardings_fn(abs_tree) if shardings_fn is not None else None
+    if per_leaf:
+        sh_flat = (
+            jax.tree_util.tree_leaves(
+                shardings, is_leaf=lambda x: isinstance(x, jax.sharding.Sharding)
+            )
+            if shardings is not None
+            else [None] * len(flat)
+        )
         leaves = []
-        for i, (path, sds) in enumerate(flat):
-            k = jax.random.fold_in(key0, i)
-            name = leaf_name(path)
-            if name == "w_q":
-                leaves.append(jax.random.randint(k, sds.shape, -100, 100, jnp.int8))
-            elif name == "w_s":
-                leaves.append(jnp.full(sds.shape, 2e-4, jnp.float32))
-            else:
-                leaves.append(
-                    (jax.random.uniform(k, sds.shape, jnp.float32) * 0.02 - 0.01)
-                    .astype(sds.dtype)
-                )
+        for i, ((path, sds), sh) in enumerate(zip(flat, sh_flat)):
+            fn = jax.jit(
+                lambda i=i, path=path, sds=sds: gen_leaf(i, path, sds),
+                **({"out_shardings": sh} if sh is not None else {}),
+            )
+            leaf = fn()
+            jax.block_until_ready(leaf)  # bound peak memory to one leaf
+            leaves.append(leaf)
         return jax.tree_util.tree_unflatten(treedef, leaves)
 
-    if shardings_fn is not None:
-        return jax.jit(build, out_shardings=shardings_fn(abs_tree))()
+    def build():
+        return jax.tree_util.tree_unflatten(
+            treedef, [gen_leaf(i, path, sds) for i, (path, sds) in enumerate(flat)]
+        )
+
+    if shardings is not None:
+        return jax.jit(build, out_shardings=shardings)()
     return jax.jit(build)()

@@ -173,6 +173,7 @@ def encode_all_batches(
             progress_callback(bi + 1, len(specs), spec.ori_length, "Phase 1: Encoding")
 
     debug.end_timer("phase1_encoding", "Phase 1: VAE encoding complete")
+    debug.log_memory_state("after phase1")
     return ctx
 
 
@@ -201,6 +202,7 @@ def upscale_all_batches(
             progress_callback(bi + 1, n, 1, "Phase 2: Upscaling")
     runner.release_dit()  # free HBM for decode when cfg.phased_weights
     debug.end_timer("phase2_upscaling", "Phase 2: DiT upscaling complete")
+    debug.log_memory_state("after phase2")
     return ctx
 
 
@@ -264,6 +266,7 @@ def decode_all_batches(
 
     ctx["final_video"] = final[:write_idx]
     debug.end_timer("phase3_decoding", "Phase 3: VAE decoding complete")
+    debug.log_memory_state("after phase3")
     return ctx
 
 
@@ -322,6 +325,7 @@ def postprocess_all_batches(
         final = final[cfg.prepend_frames :]
     ctx["final_video"] = final
     debug.end_timer("phase4_postprocess", "Phase 4: Post-processing complete")
+    debug.log_memory_state("after phase4")
     return ctx
 
 
@@ -380,6 +384,7 @@ def decode_and_postprocess_fused(
             progress_callback(bi + 1, n, ori, "Phase 3: Decoding")
     ctx["final_video"] = final[:write]
     debug.end_timer("phase34_fused", "Phases 3+4 (fused) complete")
+    debug.log_memory_state("after phase34")
     return ctx
 
 
@@ -445,13 +450,18 @@ def generate_streaming(
             flush(pending)
         pending = (u16, spec.ori_length)
         debug.end_timer(f"batch_{bi+1}", f"Batch {bi+1}/{len(specs)} (fused)")
+        debug.log_memory_state(f"after batch {bi+1}")
         if progress_callback:
             progress_callback(bi + 1, len(specs), spec.ori_length, "Phase 3: Decoding")
     if pending is not None:
         flush(pending)
     if progress_callback:
         progress_callback(1, 1, 0, "Phase 4: Post-processing")
-    debug.end_timer("streaming_pipeline", "Fused streaming pipeline complete")
+    debug.end_timer(
+        "streaming_pipeline", "Fused streaming pipeline complete",
+        show_breakdown=True,
+    )
+    debug.peak_memory_summary()
     return final[:write]
 
 
@@ -534,6 +544,7 @@ def generate(
     ctx = make_context(cfg, debug)
     ctx["interrupt_fn"] = interrupt_fn
     ctx["packed"] = packed
+    ctx["debug"].start_timer("generation")
     encode_all_batches(runner, ctx, images, progress_callback)
     upscale_all_batches(runner, ctx, progress_callback)
     fast_path = (
@@ -546,6 +557,8 @@ def generate(
     else:
         decode_all_batches(runner, ctx, progress_callback)
         postprocess_all_batches(runner, ctx, progress_callback)
+    ctx["debug"].end_timer("generation", "All phases complete", show_breakdown=True)
+    ctx["debug"].peak_memory_summary()
     dt = time.perf_counter() - t0
     n = len(ctx["final_video"])
     # per-run fps summary, the reference's headline runtime metric

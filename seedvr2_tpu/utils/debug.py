@@ -86,6 +86,9 @@ class Debug:
     # ------------------------------- memory -------------------------------- #
 
     def log_memory_state(self, label: str, **_kw) -> None:
+        """One line of current HBM use, with the delta since the previous
+        call — the reference prints a per-batch VRAM delta in debug mode
+        (reference: debug.py:640-689)."""
         if not self.enabled:
             return
         try:
@@ -93,11 +96,90 @@ class Debug:
 
             dev = jax.devices()[0]
             stats = dev.memory_stats() or {}
-            used = stats.get("bytes_in_use", 0) / 1024**3
+            used_b = stats.get("bytes_in_use", 0)
             limit = stats.get("bytes_limit", 0) / 1024**3
-            self.log(f"{label}: HBM {used:.2f}/{limit:.2f} GiB", category="memory")
+            prev = getattr(self, "_last_bytes_in_use", None)
+            self._last_bytes_in_use = used_b
+            delta = "" if prev is None else f" ({(used_b - prev) / 1024**3:+.2f})"
+            self.log(
+                f"{label}: HBM {used_b / 1024**3:.2f}/{limit:.2f} GiB{delta}",
+                category="memory",
+            )
         except Exception:
             pass
+
+    def peak_memory_summary(self) -> None:
+        """End-of-run peak-memory report (reference: debug.py:640-689
+        peak-VRAM summary): device peak_bytes_in_use + host process RSS."""
+        if not self.enabled:
+            return
+        try:
+            import jax
+
+            stats = jax.devices()[0].memory_stats() or {}
+            peak = stats.get("peak_bytes_in_use", 0) / 1024**3
+            used = stats.get("bytes_in_use", 0) / 1024**3
+            limit = stats.get("bytes_limit", 0) / 1024**3
+            self.log(
+                f"Peak HBM: {peak:.2f} GiB (now {used:.2f}, limit {limit:.2f})",
+                category="memory",
+            )
+        except Exception:
+            pass
+        try:
+            rss_kb = 0
+            with open("/proc/self/status") as fh:
+                for line in fh:
+                    if line.startswith("VmRSS:"):
+                        rss_kb = int(line.split()[1])
+                        break
+            if rss_kb:
+                self.log(f"Host RSS: {rss_kb / 1024**2:.2f} GiB", category="memory")
+        except Exception:
+            pass
+
+    def tensor_census(self, top: int = 10) -> list:
+        """gc-walk of live device arrays grouped by (shape, dtype) — the
+        TPU analog of the reference's torch tensor census (reference:
+        debug.py:389-520). Returns [(bytes, count, shape, dtype)] and logs
+        the ``top`` largest groups when debug is enabled."""
+        import gc
+
+        try:
+            import jax
+        except Exception:
+            return []
+        groups: Dict[tuple, list] = {}
+        for obj in gc.get_objects():
+            try:
+                if isinstance(obj, jax.Array) and not isinstance(
+                    obj, jax.core.Tracer
+                ):
+                    key = (tuple(obj.shape), str(obj.dtype))
+                    nbytes = obj.size * obj.dtype.itemsize
+                    g = groups.setdefault(key, [0, 0])
+                    g[0] += nbytes
+                    g[1] += 1
+            except Exception:
+                continue
+        rows = sorted(
+            ((b, n, shape, dt) for (shape, dt), (b, n) in groups.items()),
+            reverse=True,
+        )
+        if self.enabled and rows:
+            total = sum(r[0] for r in rows)
+            self.log(
+                f"Live device arrays: {sum(r[1] for r in rows)} "
+                f"({total / 1024**3:.2f} GiB)",
+                category="memory",
+            )
+            for b, n, shape, dt in rows[:top]:
+                self.log(
+                    f"{n}x {dt}{list(shape)}: {b / 1024**3:.3f} GiB",
+                    category="memory",
+                    indent_level=1,
+                )
+        return rows
 
     @contextmanager
     def profile(self, logdir: str = "/tmp/seedvr2_profile"):

@@ -65,6 +65,47 @@ def test_multichip_rgba_prepend_color_noise():
     assert np.isfinite(out).all()
 
 
+def test_multichip_matches_single_chip_exact():
+    """THE multichip correctness oracle (VERDICT r3 next #4): with segment
+    boundaries aligned to batch boundaries and no seam overlap, the
+    "data"-sharded SPMD path must reproduce the single-chip pipeline
+    EXACTLY — same frames, same seeds, same packed-u16 quantization.
+    Noise is drawn once per batch and broadcast across segments (the
+    reference's frame-DP workers replay the same per-batch seed,
+    generation_phases.py:661-664), so any mismatch here is real sharding
+    skew, not RNG bookkeeping. This is the only correctness check the
+    multi-chip path can get without real multi-chip hardware."""
+    from seedvr2_tpu.pipeline import phases
+
+    runner, cfg = _make_runner()
+    frames = np.random.RandomState(5).rand(20, 24, 20, 3).astype(np.float32)
+    single = phases.generate(runner, frames, cfg)
+    mesh = make_mesh(data=2)
+    multi = generate_multichip(runner, frames, mesh, seam_overlap=0)
+    assert multi.shape == single.shape
+    np.testing.assert_allclose(multi, single, atol=2e-4)
+
+
+def test_multichip_seam_blend_quality():
+    """With seam overlap, frames outside the blend region must still match
+    the single-chip output exactly; the blended seam frames are a Hann mix
+    of two renders of the same content (one saw temporal padding) and must
+    stay close (PSNR) rather than bit-equal."""
+    from seedvr2_tpu.pipeline import phases
+    from seedvr2_tpu.utils.metrics import psnr
+
+    runner, cfg = _make_runner()
+    frames = np.random.RandomState(6).rand(20, 24, 20, 3).astype(np.float32)
+    single = phases.generate(runner, frames, cfg)
+    mesh = make_mesh(data=2)
+    multi = generate_multichip(runner, frames, mesh, seam_overlap=4)
+    # split_frame_ranges(20, 2, 4) = [(0, 14), (10, 20)]: seam = [10, 14)
+    np.testing.assert_allclose(multi[:10], single[:10], atol=2e-4)
+    np.testing.assert_allclose(multi[14:], single[14:], atol=2e-4)
+    seam_psnr = psnr(multi[10:14], single[10:14])
+    assert seam_psnr > 30.0, f"seam PSNR {seam_psnr:.1f}dB"
+
+
 def test_multichip_falls_back_single():
     runner, cfg = _make_runner()
     mesh = make_mesh(data=2)

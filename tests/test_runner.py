@@ -59,6 +59,23 @@ def test_latent_noise_scale_changes_condition():
     assert np.abs(a - b).max() > 1e-6
 
 
+def test_cfg_swap_never_runs_stale_closure():
+    """Swapping cfg on a live Runner WITHOUT calling invalidate_compiled
+    must still trace fresh closures: jit-cache keys carry a cfg digest
+    (Runner._cfg_key), so a missed invalidate can at worst waste memory,
+    never execute math from the old cfg."""
+    r = _runner(latent_noise_scale=0.0)
+    latent = jax.random.normal(jax.random.PRNGKey(4), (1, 2, 4, 4, 4))
+    a = np.asarray(r.upscale(latent, 42))
+    r.cfg = dataclasses.replace(r.cfg, latent_noise_scale=0.5)
+    b = np.asarray(r.upscale(latent, 42))
+    assert np.abs(a - b).max() > 1e-6  # old-cfg closure would return a exactly
+    # and swapping back reuses the original entry bit-exactly
+    r.cfg = dataclasses.replace(r.cfg, latent_noise_scale=0.0)
+    c = np.asarray(r.upscale(latent, 42))
+    np.testing.assert_array_equal(a, c)
+
+
 def test_seed_key_offsets():
     assert not np.array_equal(np.asarray(batch_key(1, "dit")), np.asarray(batch_key(1, "vae")))
     base, aug = noise_pair(7, (2, 3), jnp.float32)
