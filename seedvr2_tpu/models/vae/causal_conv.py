@@ -74,11 +74,20 @@ def causal_conv3d(
     stride: Tuple[int, int, int] = (1, 1, 1),
     spatial_pad: Tuple[Tuple[int, int], Tuple[int, int]] = ((1, 1), (1, 1)),
     temporal_pad: Optional[int] = None,
+    gn=None,  # (norm_params, num_groups): fuse GroupNorm+SiLU prologue
 ) -> jnp.ndarray:
     """w: [kt, kh, kw, Cin, Cout] (DHWIO); b: [Cout].
 
     temporal_pad defaults to (kt - 1) // 2 like torch Conv3d padding=k//2.
-    """
+
+    ``gn``: run per-frame GroupNorm+SiLU on the input INSIDE this op
+    (conv(silu(gn(x)))). The streaming carry then holds the RAW input tail
+    — per-frame GroupNorm commutes with temporal concatenation (a frame's
+    stats don't depend on which slice it arrives in), so normalizing the
+    extended raw tensor is bit-identical to extending the normalized one,
+    and the Pallas fast path can fold the normalization into the conv's
+    slab load (ops/conv3d_kernel.py:_kernel_gn — removes the full-tensor
+    normalize write + conv re-read, ROADMAP #9)."""
     w = p["w"]
     kt = w.shape[0]
     if temporal_pad is None:
@@ -103,9 +112,17 @@ def causal_conv3d(
         from ...ops import conv3d_kernel as ck
 
         if ck.enabled_for(tuple(w.shape), stride):
-            key = ("conv3d", tuple(x_ext.shape), tuple(w.shape))
+            key = ("conv3d", tuple(x_ext.shape), tuple(w.shape), gn is not None)
             if key not in _KERNEL_BLOCKLIST:
                 try:
+                    if gn is not None:
+                        norm_p, groups = gn
+                        sc, sf = ck.gn_silu_tables(
+                            x_ext, norm_p["w"], norm_p["b"], groups
+                        )
+                        return ck.conv3d_3x3x3(
+                            x_ext, w.astype(x.dtype), p.get("b"), scale=sc, shift=sf
+                        )
                     return ck.conv3d_3x3x3(x_ext, w.astype(x.dtype), p.get("b"))
                 except Exception as e:
                     # Per-shape fallback, loudly: a silent blocklist hides
@@ -117,6 +134,20 @@ def causal_conv3d(
                         f"pallas conv3d fell back to XLA for x{tuple(x_ext.shape)} "
                         f"w{tuple(w.shape)}: {type(e).__name__}: {str(e)[:200]}"
                     )
+
+    if gn is not None:
+        # XLA fallback: normalize the extended raw tensor per frame, then
+        # convolve — identical numerics to the fused kernel (spatial zero
+        # padding applies to the NORMALIZED activations below).
+        from ...ops.normalization import group_norm
+
+        norm_p, groups = gn
+        B, Tt, H, W, C = x_ext.shape
+        xn = group_norm(
+            x_ext.reshape(B * Tt, H, W, C), groups, norm_p["w"], norm_p["b"], eps=1e-6
+        )
+        xn = jax.nn.silu(xn.astype(jnp.float32)).astype(x.dtype)
+        x_ext = xn.reshape(B, Tt, H, W, C)
 
     y = jax.lax.conv_general_dilated(
         x_ext,

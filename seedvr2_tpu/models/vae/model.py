@@ -150,14 +150,16 @@ def _silu(x):
 
 
 def _resnet(p, cfg: VAEConfig, x, ctx: StreamCtx, name: str):
-    """ResnetBlock3D (reference: attn_video_vae.py:311-362, temb=None path)."""
+    """ResnetBlock3D (reference: attn_video_vae.py:311-362, temb=None path).
+
+    GroupNorm+SiLU run INSIDE each conv (``gn=``): the Pallas path folds
+    them into the conv's slab load, and the streaming carry holds the raw
+    input tail — numerically identical either way (causal_conv.py)."""
     with ctx.scope(name):
-        h = _gn(p["norm1"], x, cfg.norm_num_groups)
-        h = _silu(h)
-        h = causal_conv3d(p["conv1"], h, ctx, "conv1")
-        h = _gn(p["norm2"], h, cfg.norm_num_groups)
-        h = _silu(h)
-        h = causal_conv3d(p["conv2"], h, ctx, "conv2")
+        gn1 = (p["norm1"], cfg.norm_num_groups)
+        gn2 = (p["norm2"], cfg.norm_num_groups)
+        h = causal_conv3d(p["conv1"], x, ctx, "conv1", gn=gn1)
+        h = causal_conv3d(p["conv2"], h, ctx, "conv2", gn=gn2)
         if "conv_shortcut" in p:
             x = causal_conv3d(p["conv_shortcut"], x, ctx, "shortcut", spatial_pad=((0, 0), (0, 0)))
         return x + h
