@@ -141,8 +141,110 @@ def run_sentinel(jax, jnp, np):
     return round(best, 3), ("calm" if best < 1.5 * SENTINEL_CALM_S else "hot")
 
 
+def main_stages_7b_4k() -> int:
+    """North-star stage times (BASELINE.json configs #3-#5): 7B 1080p->4K —
+    VAE encode (4K pixels in), DiT one-step at the 4K latent, tiled 4K
+    decode with the DiT dropped (phased residency). Runs as a FRESH process
+    spawned by main() BEFORE the parent initializes the TPU: a
+    RESOURCE_EXHAUSTED here cannot poison the headline bench's HBM
+    allocations (ROADMAP "known environment caveats"), and the two
+    processes never hold the tunnel simultaneously. Prints one JSON line."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from seedvr2_tpu.config import PipelineConfig, dit_7b, vae_config
+    from seedvr2_tpu.models.vae.model import init_vae_params
+    from seedvr2_tpu.ops.quant import synthetic_quantized_dit_params_on_device
+    from seedvr2_tpu.pipeline.runner import Runner
+    from seedvr2_tpu.utils.debug import Debug
+
+    res = {}
+    cfg7 = PipelineConfig(
+        dit=dit_7b(),
+        vae=vae_config(),
+        resolution=3840,
+        batch_size=FRAMES,
+        compute_dtype="bfloat16",
+        output_bits=8,
+        encode_tiled=True,
+        encode_tile_size=(1024, 1024),
+        encode_tile_overlap=(128, 128),
+        decode_tiled=True,
+        decode_tile_size=(1088, 1024),
+        decode_tile_overlap=(0, 128),
+    )
+    rng = np.random.RandomState(0)
+    text = (rng.randn(77, cfg7.dit.txt_in_dim) * 0.02).astype(np.float32)
+    p7 = synthetic_quantized_dit_params_on_device(cfg7.dit)
+    vae_params = init_vae_params(cfg7.vae, jax.random.PRNGKey(1), dtype=jnp.bfloat16)
+    r7 = Runner(cfg7, p7, vae_params, text, debug=Debug(False))
+
+    def t_stage(fn, n=2):
+        out = fn()
+        float(np.asarray(jnp.sum(jax.tree.leaves(out)[0].astype(jnp.float32))))
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            out = fn()
+            float(np.asarray(jnp.sum(jax.tree.leaves(out)[0].astype(jnp.float32))))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    H4, W4 = 2176, 3840  # 4K output dims (/16-padded 2160x3840)
+    t_lat = (FRAMES - 1) // 4 + 1
+    try:
+        video4k = (
+            jax.random.uniform(jax.random.PRNGKey(9), (1, FRAMES, H4, W4, 3), jnp.bfloat16)
+            * 2.0 - 1.0
+        )
+        res["enc_7b_4k_s"] = round(t_stage(lambda: r7.vae_encode(video4k)), 3)
+        del video4k
+        lat4k = (
+            jax.random.normal(jax.random.PRNGKey(10), (1, t_lat, H4 // 8, W4 // 8, 16), jnp.bfloat16)
+            * 0.5
+        )
+        res["dit_7b_4k_s"] = round(t_stage(lambda: r7.upscale(lat4k, 42)), 3)
+        # phased residency for decode: drop the DiT without a host copy
+        r7.dit_params = None
+        r7._dit_step_cache.clear()
+        res["dec_7b_4k_s"] = round(t_stage(lambda: r7.vae_decode(lat4k)), 3)
+    except Exception as e:
+        res["stages_7b_4k"] = f"failed: {type(e).__name__}: {str(e)[:120]}"
+    print(json.dumps(res))
+    return 0
+
+
 def main() -> int:
     t_proc = time.perf_counter()
+
+    # 7B 4K stages first, in their own process (see main_stages_7b_4k),
+    # BEFORE this process opens the TPU — strictly sequential sessions.
+    stage_extras = {}
+    if os.environ.get("BENCH_SKIP_7B") != "1":
+        import subprocess
+
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-u", os.path.abspath(__file__), "--stages-7b-4k"],
+                capture_output=True,
+                text=True,
+                timeout=min(BUDGET_S * 0.6, 1500),
+            )
+            line = next(
+                (l for l in reversed(proc.stdout.splitlines()) if l.startswith("{")),
+                None,
+            )
+            if line:
+                stage_extras = json.loads(line)
+            else:
+                stage_extras = {
+                    "stages_7b_4k": f"failed: no JSON from child rc={proc.returncode}: "
+                    f"{(proc.stderr or '')[-160:]}"
+                }
+        except subprocess.TimeoutExpired:
+            stage_extras = {"stages_7b_4k": "skipped: stage-subprocess budget exceeded"}
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -238,6 +340,7 @@ def main() -> int:
               "vs_baseline_4090": round(fps / ref_fps_4090, 4),
               "vs_baseline_h100": round(fps / ref_fps_h100, 4),
               "sentinel_s": sentinel_s, "window": window}
+    extras.update(stage_extras)
     extras.update({k: (round(v, 3) if isinstance(v, float) else v) for k, v in deriv.items()})
 
     def over_budget(tag: str) -> bool:
@@ -275,47 +378,6 @@ def main() -> int:
         except Exception as e:
             extras["dit_step_7b_int8_s"] = f"failed: {type(e).__name__}"
 
-        # North-star shape (BASELINE.json configs #3-#5): 7B stage-level at
-        # 1080p -> 4K — VAE encode (1080p in), DiT one-step at the 4K latent,
-        # tiled 4K decode. Completion is a scalar fetch, so these measure
-        # device compute, not the dev tunnel's 40MB/s frame download (the
-        # e2e 3B headline includes transfers).
-        if over_budget("stages_7b_4k"):
-            print_result(fps, ref_fps, extras)
-            return 0
-        try:
-            def t_stage(fn, n=2):
-                out = fn()
-                float(np.asarray(jnp.sum(jax.tree.leaves(out)[0].astype(jnp.float32))))
-                ts = []
-                for _ in range(n):
-                    t0 = time.perf_counter()
-                    out = fn()
-                    float(np.asarray(jnp.sum(jax.tree.leaves(out)[0].astype(jnp.float32))))
-                    ts.append(time.perf_counter() - t0)
-                return min(ts)
-
-            H4, W4 = 2176, 3840  # 4K output dims (/16-padded 2160x3840)
-            video4k = jax.random.uniform(
-                jax.random.PRNGKey(9), (1, FRAMES, H4, W4, 3), dtype
-            ) * 2.0 - 1.0
-            extras["enc_7b_4k_s"] = round(t_stage(lambda: r7.vae_encode(video4k)), 3)
-            lat4k = jax.random.normal(
-                jax.random.PRNGKey(10), (1, t_lat, H4 // 8, W4 // 8, 16), dtype
-            ) * 0.5
-            extras["dit_7b_4k_s"] = round(t_stage(lambda: r7.upscale(lat4k, 42)), 3)
-            del video4k
-            # Decode with the DiT dropped from HBM: the single-chip 4K
-            # configuration is phased residency (cfg.phased_weights — the
-            # reference's phase offload), and an OOM here would poison the
-            # process's remaining HBM allocations on this platform. Dropped
-            # directly (no host copy) since the step is not re-run.
-            r7.dit_params = None
-            r7._dit_step_cache.clear()
-            extras["dec_7b_4k_s"] = round(t_stage(lambda: r7.vae_decode(lat4k)), 3)
-        except Exception as e:
-            extras["stages_7b_4k"] = f"failed: {type(e).__name__}: {str(e)[:120]}"
-
     print_result(fps, ref_fps, extras)
     return 0
 
@@ -335,4 +397,6 @@ def print_result(fps, ref_fps, extras):
 
 
 if __name__ == "__main__":
+    if "--stages-7b-4k" in sys.argv:
+        sys.exit(main_stages_7b_4k())
     sys.exit(main())

@@ -86,14 +86,17 @@ def conv_case(name, T, Hs, Ws, C, backend):
 
 
 def gn_silu_case(name, T, Hs, Ws, C):
+    """PER-FRAME GroupNorm stats (reduce H, W, group channels — NOT T),
+    mirroring models/vae/model.py:_gn exactly (ADVICE r3: the earlier probe
+    reduced over T too, a different reduction structure than the VAE's)."""
     x = jax.random.normal(jax.random.PRNGKey(1), (1, T, Hs, Ws, C), jnp.bfloat16)
     g = jnp.ones((C,), jnp.float32)
     b = jnp.zeros((C,), jnp.float32)
 
     def one(x):
-        xf = x.astype(jnp.float32).reshape(1, T, Hs, Ws, 32, C // 32)
-        mu = xf.mean(axis=(1, 2, 3, 5), keepdims=True)
-        var = ((xf - mu) ** 2).mean(axis=(1, 2, 3, 5), keepdims=True)
+        xf = x.astype(jnp.float32).reshape(T, Hs, Ws, 32, C // 32)
+        mu = xf.mean(axis=(1, 2, 4), keepdims=True)
+        var = ((xf - mu) ** 2).mean(axis=(1, 2, 4), keepdims=True)
         y = ((xf - mu) * jax.lax.rsqrt(var + 1e-6)).reshape(1, T, Hs, Ws, C)
         y = y * g + b
         return (y * jax.nn.sigmoid(y)).astype(x.dtype)
@@ -105,12 +108,22 @@ def gn_silu_case(name, T, Hs, Ws, C):
         return x
 
     s = steady(chain, x)
-    gb = N * 2 * T * Hs * Ws * C * 2 / 1e9  # one read + one write, bf16
-    print(f"{name}: {s*1000/N:.1f}ms/op  ({gb/N:.2f}GB min traffic/op -> "
+    # Traffic model: XLA computes two-pass stats + normalize, so the
+    # minimum HBM traffic is 3 tensor reads + 1 write (bf16). The printed
+    # GB/s uses THIS model — keep docs/PERFORMANCE.md's wording in sync
+    # (ADVICE r3: the doc said 3r+1w while the old formula counted 1r+1w).
+    gb = N * 4 * T * Hs * Ws * C * 2 / 1e9  # 3 reads + 1 write, bf16
+    print(f"{name}: {s*1000/N:.1f}ms/op  ({gb/N:.2f}GB traffic/op at 3r+1w -> "
           f"{gb/s:.0f} GB/s effective)", flush=True)
 
 
 def upsample_case(name, T, Hs, Ws, C):
+    """One REAL 2x2 nearest upsample then a 2x2 mean-pool back to shape.
+    The old repeat-then-stride-2-slice chain was algebraically the identity
+    (ADVICE r3) and XLA could elide it; mean-pool is not the inverse of
+    nearest-repeat composition XLA can cancel, so each step does real
+    memory traffic. Reported per-op cost is HALF the step (up + pool are
+    both ~the same traffic), i.e. an upper bound on one upsample."""
     x = jax.random.normal(jax.random.PRNGKey(2), (1, T, Hs, Ws, C), jnp.bfloat16)
 
     @jax.jit
@@ -118,11 +131,12 @@ def upsample_case(name, T, Hs, Ws, C):
         y = x
         for _ in range(N):
             u = jnp.repeat(jnp.repeat(y, 2, axis=2), 2, axis=3)
-            y = u[:, :, ::2, ::2]  # fold back so the chain keeps one shape
+            y = u.reshape(1, T, Hs, 2, Ws, 2, C).mean(axis=(3, 5)).astype(x.dtype)
         return y
 
     s = steady(chain, x)
-    print(f"{name}: {s*1000/N:.1f}ms/op", flush=True)
+    print(f"{name}: {s*1000/(2*N):.1f}ms/op (upper bound: half of up+pool step)",
+          flush=True)
 
 
 def attn_case(name, T, L, C):

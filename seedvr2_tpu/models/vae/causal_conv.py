@@ -28,6 +28,21 @@ import jax.numpy as jnp
 
 State = Dict[str, jnp.ndarray]
 
+# GroupNorm+SiLU fusion into the Pallas conv prologue. MEASURED A WASH at
+# the bench shapes in a verified-calm window (scripts/decode_ab_gn.py,
+# 2026-08-18: decode 2.349s separate vs 2.345s fused, encode 1.242 vs
+# 1.243) — XLA already overlaps the normalize write with neighbouring MXU
+# work, so the saved HBM pass is off the critical path. Default OFF to
+# keep the round-3-proven lowering; the kernel + toggle stay for shapes
+# where the balance differs (both settings numerically equivalent,
+# tests/test_conv3d_kernel.py).
+_GN_FUSION = False
+
+
+def set_gn_fusion(on: bool) -> None:
+    global _GN_FUSION
+    _GN_FUSION = bool(on)
+
 
 class StreamCtx:
     """Threads streaming-conv state through a (traced) VAE forward.
@@ -105,6 +120,20 @@ def causal_conv3d(
         cache = kt - stride[0]
         if cache > 0 and ctx.mode != "disabled":
             ctx.put("mem", x_ext[:, -cache:])
+
+    if gn is not None and not _GN_FUSION:
+        # A/B off-position: normalize the extended raw tensor up front
+        # (bit-identical — per-frame GN commutes with extension) and run
+        # the plain conv paths below, i.e. round-3 behavior.
+        from ...ops.normalization import group_norm
+
+        norm_p, groups = gn
+        B_, Tt_, H_, W_, C_ = x_ext.shape
+        xn = group_norm(
+            x_ext.reshape(B_ * Tt_, H_, W_, C_), groups, norm_p["w"], norm_p["b"], eps=1e-6
+        )
+        x_ext = jax.nn.silu(xn.astype(jnp.float32)).astype(x.dtype).reshape(x_ext.shape)
+        gn = None
 
     # Fast path: fused Pallas kernel for the dominant stride-1 3x3x3 convs
     # (ops/conv3d_kernel.py). Falls back to XLA per shape on compile issues.

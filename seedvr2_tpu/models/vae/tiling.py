@@ -371,6 +371,60 @@ def tiled_decode(
     return result.astype(z.dtype)
 
 
+def tiled_decode_staged(
+    params,
+    cfg: VAEConfig,
+    z,  # [B, T', H', W', C] latent (device or host)
+    tile_size: Tuple[int, int] = (1024, 1024),
+    tile_overlap: Tuple[int, int] = (128, 128),
+) -> np.ndarray:
+    """Host-staged tiled decode: one jitted per-tile decode, blended
+    accumulation in HOST memory (numpy). The device never holds more than
+    one tile's activations plus the latent — this is the unbounded-
+    resolution rung of the decode OOM ladder, mirroring the reference's
+    offload-device accumulation + preallocated final_video (reference:
+    attn_video_vae.py:1612-1625, generation_phases.py:865-879). Weights
+    ride in as an argument so every tile reuses ONE executable. Returns a
+    host float32 array in the decoder's output range ([-1, 1])."""
+    z = jnp.asarray(z)
+    B, T, H, W, _ = z.shape
+    sf = cfg.spatial_downsample_factor
+    ltmax_h, ltmax_w = max(1, tile_size[0] // sf), max(1, tile_size[1] // sf)
+    lo_h = max(0, min(tile_overlap[0] // sf, ltmax_h - 1))
+    lo_w = max(0, min(tile_overlap[1] // sf, ltmax_w - 1))
+    lt_h, rows = _axis_grid(H, ltmax_h, lo_h)
+    lt_w, cols = _axis_grid(W, ltmax_w, lo_w)
+    th, tw = lt_h * sf, lt_w * sf
+    r_h = _seam_ramp(th, [y * sf for y in rows], tile_overlap[0])
+    r_w = _seam_ramp(tw, [x * sf for x in cols], tile_overlap[1])
+
+    out_shape = jax.eval_shape(
+        lambda zt: slicing_decode(params, cfg, zt),
+        jax.ShapeDtypeStruct((B, T, lt_h, lt_w, z.shape[-1]), z.dtype),
+    )
+    T2, c_out = out_shape.shape[1], out_shape.shape[-1]
+
+    dec_tile = jax.jit(
+        lambda p, zt, wmap: slicing_decode(p, cfg, zt).astype(jnp.float32)
+        * wmap[None, None, :, :, None]
+    )
+
+    acc = np.zeros((B, T2, H * sf, W * sf, c_out), np.float32)
+    cnt = np.zeros((1, 1, H * sf, W * sf, 1), np.float32)
+    for y in rows:
+        for x in cols:
+            wh = _edge_weights(th, r_h, y == 0, y == rows[-1])
+            ww = _edge_weights(tw, r_w, x == 0, x == cols[-1])
+            wmap = np.outer(wh, ww).astype(np.float32)
+            out = np.asarray(
+                dec_tile(params, z[:, :, y : y + lt_h, x : x + lt_w], jnp.asarray(wmap))
+            )
+            ys, xs = y * sf, x * sf
+            acc[:, :, ys : ys + th, xs : xs + tw] += out
+            cnt[0, 0, ys : ys + th, xs : xs + tw, 0] += wmap
+    return acc / np.clip(cnt, 1e-6, None)
+
+
 # --------------------------------------------------------------------------- #
 # Top-level encode/decode with scale/shift (runner-facing)
 # --------------------------------------------------------------------------- #

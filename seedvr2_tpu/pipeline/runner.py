@@ -201,17 +201,26 @@ class Runner:
             fn = self._vae_fn("decode", tiled, ts, to, tb, latent.shape, latent.dtype)
             return fn(self.vae_params, latent)
 
+        def staged(ts, to):
+            # Last rung: host-staged accumulation — the device holds one
+            # tile's activations; blending runs in host RAM (the reference's
+            # offload-device accumulation, attn_video_vae.py:1612-1625).
+            z = latent / c.vae.scaling_factor + c.vae.shifting_factor
+            return vae_tiling.tiled_decode_staged(self.vae_params, c.vae, z, ts, to)
+
         return self._with_oom_fallback(
-            "decode", run, c.decode_tiled, c.decode_tile_size, c.decode_tile_overlap
+            "decode", run, c.decode_tiled, c.decode_tile_size, c.decode_tile_overlap,
+            staged_fn=staged,
         )
 
-    def _with_oom_fallback(self, tag, fn, tiled, tile_size, tile_overlap):
+    def _with_oom_fallback(self, tag, fn, tiled, tile_size, tile_overlap, staged_fn=None):
         """TPU analog of the reference's retry_on_oom (reference:
         memory_manager.py:361-401): on RESOURCE_EXHAUSTED, enable tiling,
-        then keep halving the tile (floor 256px) and retry. A backend
-        compile failure of a program embedding the pallas conv kernel
-        instead disables that kernel and retries once via the XLA lowering
-        (ops/conv3d_kernel.py:compile_fallback)."""
+        then keep halving the tile (floor 256px) and retry; decode gets a
+        final host-staged rung (``staged_fn``) that bounds device memory to
+        one tile. A backend compile failure of a program embedding the
+        pallas conv kernel instead disables that kernel and retries once
+        via the XLA lowering (ops/conv3d_kernel.py:compile_fallback)."""
         while True:
             try:
                 out = fn(tiled, tile_size, tile_overlap)
@@ -253,6 +262,14 @@ class Runner:
                 elif tile_size[0] > 256:
                     tile_size = (tile_size[0] // 2, tile_size[1] // 2)
                     tile_overlap = (max(32, tile_overlap[0] // 2),) * 2
+                elif staged_fn is not None:
+                    self.debug.log(
+                        f"HBM exhausted during VAE {tag} at the tile floor; "
+                        "falling back to host-staged tile accumulation",
+                        category="memory",
+                        force=True,
+                    )
+                    return staged_fn(tile_size, tile_overlap)
                 else:
                     raise
                 self.debug.log(

@@ -116,6 +116,17 @@ def test_tiled_decode_shape_and_blend(params):
     assert seam_jump < 10 * typical_jump + 1e-3
 
 
+def test_staged_decode_matches_device_tiled(params):
+    """Host-staged tile accumulation (the decode OOM ladder's last rung,
+    tiling.tiled_decode_staged) must reproduce the device-side tiled decode:
+    same grid, same ramps, accumulation in host fp32 instead of HBM."""
+    z = jax.random.normal(jax.random.PRNGKey(11), (1, 2, 8, 8, CFG.latent_channels)) * 0.5
+    dev = tiling.tiled_decode(params, CFG, z, tile_size=(32, 32), tile_overlap=(8, 8))
+    host = tiling.tiled_decode_staged(params, CFG, z, tile_size=(32, 32), tile_overlap=(8, 8))
+    assert host.dtype == np.float32
+    np.testing.assert_allclose(host, np.asarray(dev, np.float32), atol=2e-5, rtol=1e-5)
+
+
 def test_tiled_encode_shape(params):
     x = jax.random.normal(jax.random.PRNGKey(8), (1, 5, 64, 64, 3))
     lat = tiling.vae_encode(params, CFG, x, tiled=True, tile_size=(32, 32), tile_overlap=(8, 8))
