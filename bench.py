@@ -55,33 +55,107 @@ REF_CONV_MFU = 0.45  # cuDNN Conv3d at 128-512 channel VAE shapes
 REF_HOST_S = 0.5  # transforms, color fix, host IO
 
 
-def _vae_conv_flops(T, H, W, cfg, tile=(512, 512), overlap=(64, 64), decode=True):
-    """Total 3x3x3-conv FLOPs for a tiled decode/encode at the reference's
-    own 512/64 tiling (ragged edge tiles clipped, so redundancy matches the
-    reference exactly: stride 448 grid clipped to bounds)."""
-    import math
+def _decode_body_flops(T_lat, lh, lw):
+    """EXACT decoder-body FLOPs for one latent tile [T_lat, lh, lw, 16]
+    (architecture walk, not an estimate — the round-3 heuristic counter
+    undercounted ~2.5x by missing the upsample convs at their doubled
+    resolution and the per-stage conv counts; validated against measured
+    in-situ stage times, docs/PERFORMANCE.md round-4).
 
-    sf = cfg.spatial_downsample_factor
+    Structure (config.py VAEConfig): rev channels (512,512,256,128),
+    3 resnets per up block, MAGViT upsample (1x1 expand + 3x3x3 conv at the
+    NEW resolution), temporal 2x ups at i=0,1 (T -> 2T-1 via head removal),
+    mid = 2 resnets + single-head attention over lh*lw tokens per frame."""
+    f = 0.0
 
-    def tiles(total):
-        stride = tile[0] - overlap[0]
-        starts = list(range(0, total, stride))
-        return [(s, min(s + tile[0], total)) for s in starts if s < total]
+    def conv333(cin, cout, t, px):
+        return 2 * 27 * cin * cout * t * px
 
-    px = 0.0
-    for y0, y1 in tiles(H):
-        for x0, x1 in tiles(W):
-            px += (y1 - y0) * (x1 - x0)
-    # stage structure: channels (128, 256, 512, 512), ~5 convs per stage,
-    # spatial area /4 per level going down; temporal roughly T at the two
-    # high-res stages, T/2 and T/4 below (t4 causal inflation).
-    chans = [128, 256, 512, 512]
-    areas = [px, px / 4, px / 16, px / 64]
-    frames = [T, max(1, T // 2), max(1, (T + 3) // 4), max(1, (T + 3) // 4)]
-    total = 0.0
-    for c, a, f in zip(chans, areas, frames):
-        total += 5 * (2 * 27 * c * c) * a * f
-    return total
+    def conv111(cin, cout, t, px):
+        return 2 * cin * cout * t * px
+
+    def resnet(cin, cout, t, px):
+        r = conv333(cin, cout, t, px) + conv333(cout, cout, t, px)
+        if cin != cout:
+            r += conv111(cin, cout, t, px)
+        return r
+
+    t, px = T_lat, lh * lw
+    f += conv333(16, 512, t, px)  # conv_in
+    # mid: 2 resnets c512 + attention (qkvo projections + 2 L^2 matmuls)
+    f += 2 * resnet(512, 512, t, px)
+    f += 4 * conv111(512, 512, t, px) + 2 * 2 * px * px * 512 * t
+    rev = (512, 512, 256, 128)
+    cin = 512
+    for i, cout in enumerate(rev):
+        f += resnet(cin, cout, t, px) + 2 * resnet(cout, cout, t, px)
+        if i < 3:
+            tz = 2 if i < 2 else 1  # temporal ups at i=0,1
+            f += conv111(cout, cout * 4 * tz, t, px)  # MAGViT 1x1 expand
+            px *= 4
+            t = t * tz - (tz - 1)  # head removal after temporal up
+            f += conv333(cout, cout, t, px)  # upsample conv at NEW res
+        cin = cout
+    f += conv333(128, 3, t, px)  # conv_out
+    return f
+
+
+def _encode_body_flops(T_pix, h, w):
+    """EXACT encoder-body FLOPs for one pixel tile [T_pix, h, w, 3]
+    (2 resnets per down block; spatial downs at i=0,1,2; temporal downs at
+    i=1,2; strided downsample convs compute at the OUTPUT resolution)."""
+    f = 0.0
+
+    def conv333(cin, cout, t, px):
+        return 2 * 27 * cin * cout * t * px
+
+    def conv111(cin, cout, t, px):
+        return 2 * cin * cout * t * px
+
+    def resnet(cin, cout, t, px):
+        r = conv333(cin, cout, t, px) + conv333(cout, cout, t, px)
+        if cin != cout:
+            r += conv111(cin, cout, t, px)
+        return r
+
+    t, px = T_pix, h * w
+    boc = (128, 256, 512, 512)
+    f += conv333(3, 128, t, px)  # conv_in
+    cin = 128
+    for i, cout in enumerate(boc):
+        f += resnet(cin, cout, t, px) + resnet(cout, cout, t, px)
+        if i < 3:
+            px //= 4
+            if i in (1, 2):  # encoder temporal downs
+                t = max(1, (t - 1) // 2 + 1)
+            f += conv333(cout, cout, t, px)  # strided conv at OUTPUT res
+        cin = cout
+    # mid at latent res + attention
+    f += 2 * resnet(512, 512, t, px)
+    f += 4 * conv111(512, 512, t, px) + 2 * 2 * px * px * 512 * t
+    f += conv333(512, 32, t, px)  # conv_out (2*latent moments)
+    return f
+
+
+def _ragged_tiles(total, tile, stride):
+    starts = [s for s in range(0, total, stride) if s < total]
+    return [(s, min(s + tile, total)) for s in starts]
+
+
+def ref_vae_flops(T, H, W):
+    """Total VAE FLOPs the REFERENCE executes for this workload at its own
+    512/64 ragged tiling (clipped edge tiles, reference:
+    attn_video_vae.py:1486-1534): sum of exact per-tile body FLOPs."""
+    t_lat = (T - 1) // 4 + 1
+    dec = 0.0
+    for y0, y1 in _ragged_tiles(H // 8, 64, 56):
+        for x0, x1 in _ragged_tiles(W // 8, 64, 56):
+            dec += _decode_body_flops(t_lat, y1 - y0, x1 - x0)
+    enc = 0.0
+    for y0, y1 in _ragged_tiles(H, 512, 448):
+        for x0, x1 in _ragged_tiles(W, 512, 448):
+            enc += _encode_body_flops(T, y1 - y0, x1 - x0)
+    return enc, dec
 
 
 def ref_fps_estimate(cfg, T, H, W, tokens):
@@ -90,8 +164,7 @@ def ref_fps_estimate(cfg, T, H, W, tokens):
     and an H100 (same MFUs, charitable to the reference on H100). Returns
     (fps_4090, fps_h100, derivation_extras)."""
     dit_flops = 2.0 * 3.0e9 * tokens  # one forward, 2*P*L
-    dec_flops = _vae_conv_flops(T, H, W, cfg)
-    enc_flops = dec_flops * 0.35  # encoder is ~1/3 of decoder cost
+    enc_flops, dec_flops = ref_vae_flops(T, H, W)
 
     def fps_at(tflops):
         t = (
