@@ -252,6 +252,10 @@ def main_stages_7b_4k() -> int:
     p7 = synthetic_quantized_dit_params_on_device(cfg7.dit)
     vae_params = init_vae_params(cfg7.vae, jax.random.PRNGKey(1), dtype=jnp.bfloat16)
     r7 = Runner(cfg7, p7, vae_params, text, debug=Debug(False))
+    del p7  # the Runner holds the only reference; the decode stage below
+    # frees it via r7.dit_params=None — a lingering local here kept 7.2GB
+    # of int8 weights resident through the 4K decode and OOM'd every rung
+    # of the tiling ladder (round-4 root cause of the r3 stages failure)
 
     def t_stage(fn, n=2):
         out = fn()
@@ -278,9 +282,12 @@ def main_stages_7b_4k() -> int:
             * 0.5
         )
         res["dit_7b_4k_s"] = round(t_stage(lambda: r7.upscale(lat4k, 42)), 3)
-        # phased residency for decode: drop the DiT without a host copy
+        # phased residency for decode: drop the DiT without a host copy,
+        # including the compiled step (it pins donated buffers) and the 4K
+        # window-plan tables
         r7.dit_params = None
         r7._dit_step_cache.clear()
+        r7._plan_args_cache.clear()
         res["dec_7b_4k_s"] = round(t_stage(lambda: r7.vae_decode(lat4k)), 3)
     except Exception as e:
         res["stages_7b_4k"] = f"failed: {type(e).__name__}: {str(e)[:120]}"

@@ -439,6 +439,12 @@ def generate_streaming(
         write += ori
 
     for bi, spec in enumerate(specs):
+        # Interrupt granularity: once per batch DISPATCH. A batch is one
+        # multi-second opaque executable, so this is coarser than the
+        # reference's per-phase checks (generation_phases.py:347,658,919,
+        # 1222) — the deliberate trade for the fused pipeline's zero
+        # inter-phase dispatches; the 4-phase fallback path keeps the
+        # reference's per-phase-per-batch granularity.
         if interrupt_fn is not None:
             interrupt_fn()
         debug.start_timer(f"batch_{bi+1}")
