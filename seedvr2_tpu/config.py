@@ -240,6 +240,12 @@ class PipelineConfig:
     # (transform->encode->DiT->decode->finalize, Runner.fused_batch);
     # "off" forces the reference-shaped 4-phase pipeline.
     fused_pipeline: str = "auto"
+    # "auto": when the decode grid is a single row of >= 2 column tiles and
+    # the color method is spatially local (wavelet/none), the fused batch
+    # runs as head + per-column-tile executables whose finalized packed
+    # chunks stream to the host while later tiles compute
+    # (Runner.fused_batch_chunks); "off" keeps one executable per batch.
+    chunked_output: str = "auto"
     # Host offload of per-batch intermediates between phases (the
     # reference's tensor_offload_device): "auto" offloads only when the
     # run's latents would crowd HBM, "always"/"never" force it.

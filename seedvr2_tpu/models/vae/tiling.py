@@ -371,6 +371,86 @@ def tiled_decode(
     return result.astype(z.dtype)
 
 
+class ColumnChunkPlan:
+    """Static geometry for the streamed column-chunk decode
+    (pipeline/runner.py:fused_batch_chunks): a single row of >= 2
+    full-height column tiles, decoded left-to-right as separate
+    executables chained by an (acc, cnt) carry strip, each emitting a
+    finalized packed column chunk the host can fetch while the next tile
+    still computes. All fields are pixel-space unless noted."""
+
+    def __init__(self, sf, lt_w, cols, tw, th, ramp, halo, emit, true_w):
+        self.sf = sf
+        self.lt_w = lt_w  # latent tile width
+        self.cols = cols  # latent col starts (len >= 2)
+        self.tw = tw  # pixel tile width
+        self.th = th  # pixel tile height (full frame height)
+        self.ramp = ramp  # seam blend ramp length
+        self.halo = halo  # color-fix halo (0 when color is skipped)
+        self.emit = emit  # chunk end boundaries; emit[-1] == true_w
+        self.true_w = true_w
+
+
+def column_chunk_plan(
+    cfg: VAEConfig,
+    H: int,  # latent rows of the decode input
+    W: int,  # latent cols
+    tile_size: Tuple[int, int],
+    tile_overlap: Tuple[int, int],
+    true_h: int,
+    true_w: int,
+    halo: int,
+) -> Optional[ColumnChunkPlan]:
+    """Build a ColumnChunkPlan for tiled_decode's EXACT grid, or None when
+    streaming would change numerics. Valid only when the grid is a single
+    row of >= 2 column tiles; ``halo`` must cover the color fix's spatial
+    receptive field (wavelet: 5 dilated 3x3 levels, radii 1+2+4+8+16 = 31
+    -> halo 32) so every emitted pixel sees only final blended values.
+    The radius-clamp guard rejects shapes where wavelet_blur's
+    min(H, W) // 8 safety clamp (ops/color.py:33) would act differently on
+    a halo'd chunk than on the full frame."""
+    sf = cfg.spatial_downsample_factor
+    ltmax_h = max(1, tile_size[0] // sf)
+    ltmax_w = max(1, tile_size[1] // sf)
+    if H > ltmax_h:  # more than one tile row: not a column grid
+        return None
+    lo_w = max(0, min(tile_overlap[1] // sf, ltmax_w - 1))
+    lt_w, cols = _axis_grid(W, ltmax_w, lo_w)
+    if len(cols) < 2:
+        return None
+    tw, th = lt_w * sf, H * sf
+    if true_h > th or true_w > W * sf:
+        return None
+    p = [x * sf for x in cols]
+    ramp = _seam_ramp(tw, p, tile_overlap[1])
+    emit = []
+    prev = 0
+    for i in range(len(cols) - 1):
+        e = p[i + 1] - halo
+        # interior boundary + its right halo must stay inside the real
+        # frame: a halo truncated at true_w would replicate-pad where the
+        # full-frame fix sees real pixels
+        if e <= prev or (halo and p[i + 1] > true_w) or e - halo < 0:
+            return None
+        emit.append(e)
+        prev = e
+    if true_w <= prev:
+        return None
+    emit.append(true_w)
+    if halo:
+        # wavelet_blur radius clamp parity (see docstring)
+        m_full = max(1, min(true_h, true_w) // 8)
+        lo = 0
+        for i, e in enumerate(emit):
+            a = max(0, lo - (halo if i else 0))
+            b = min(true_w, e + (halo if i < len(emit) - 1 else 0))
+            m_chunk = max(1, min(true_h, b - a) // 8)
+            if m_chunk != m_full and (m_chunk < 16 or m_full < 16):
+                return None
+            lo = e
+    return ColumnChunkPlan(sf, lt_w, tuple(cols), tw, th, ramp, halo, tuple(emit), true_w)
+
+
 def tiled_decode_staged(
     params,
     cfg: VAEConfig,

@@ -434,8 +434,18 @@ def generate_streaming(
         u16, ori = p
         from .runner import unpack_frames
 
-        host = jax.device_get(u16)
-        final[write : write + ori] = (host if packed else unpack_frames(host))[:ori]
+        if isinstance(u16, list):
+            # streamed column chunks: fetching chunk i blocks only until
+            # tile i's executable finishes, so the transfer of early chunks
+            # overlaps the still-running later tiles / next batch's head
+            for lo, hi, dev in u16:
+                host = jax.device_get(dev)
+                final[write : write + ori, :, lo:hi] = (
+                    host if packed else unpack_frames(host)
+                )[:ori]
+        else:
+            host = jax.device_get(u16)
+            final[write : write + ori] = (host if packed else unpack_frames(host))[:ori]
         write += ori
 
     for bi, spec in enumerate(specs):
@@ -451,7 +461,13 @@ def generate_streaming(
         video = batching.prepare_batch(images, spec)
         key_noise, sub = jax.random.split(key_noise)
         fr16 = _upload_frames(video[..., :3])
-        u16 = runner.fused_batch(fr16, spec.ori_length, true_h, true_w, sub, cfg.seed)
+        plan = runner.supports_chunked(fr16.shape, true_h, true_w)
+        if plan is not None:
+            u16 = runner.fused_batch_chunks(
+                fr16, true_h, true_w, sub, cfg.seed, plan
+            )
+        else:
+            u16 = runner.fused_batch(fr16, spec.ori_length, true_h, true_w, sub, cfg.seed)
         if pending is not None:
             flush(pending)
         pending = (u16, spec.ori_length)

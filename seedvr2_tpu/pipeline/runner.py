@@ -543,6 +543,179 @@ class Runner:
             key, True, frames16, true_h, true_w, noise_key, seed, trim
         )
 
+    # ------------------- streamed column-chunk pipeline --------------------- #
+
+    def supports_chunked(self, frames_shape, true_h: int, true_w: int):
+        """ColumnChunkPlan for this batch shape, or None when the streamed
+        column-chunk path (fused_batch_chunks) wouldn't be bit-compatible
+        with fused_batch: it requires a single-row multi-column decode
+        grid, tile_batch 1, a spatially-local (or absent) color method,
+        and no mesh (multichip segments stream whole segments instead)."""
+        c = self.cfg
+        if (
+            getattr(c, "chunked_output", "auto") == "off"
+            or not c.decode_tiled
+            or c.decode_tile_batch != 1
+            or self.mesh is not None
+            or c.color_correction not in ("none", "wavelet")
+        ):
+            return None
+        thw = self._fused_thw(frames_shape, False)
+        halo = 32 if c.color_correction == "wavelet" else 0
+        return vae_tiling.column_chunk_plan(
+            c.vae, thw[1], thw[2], c.decode_tile_size, c.decode_tile_overlap,
+            true_h, true_w, halo,
+        )
+
+    def _make_head_fn(self, frames_shape, true_h, true_w):
+        """transform -> (input noise) -> tiled encode -> one-step DiT: the
+        front half of _make_fused_fn, emitting the upscaled latent and the
+        clean transformed frames (the color-correction style source) for
+        the streamed column-chunk decode."""
+        c = self.cfg
+        from ..ops.resize import pipeline_transform, to_f01
+
+        compute = jnp.dtype(c.compute_dtype)
+        thw = self._fused_thw(frames_shape, False)
+        step = self._build_step_body(thw, int(self.text_pos.shape[1]))
+
+        def f(dit_params, vae_params, fr16, txt, nkey, rng, plan_args):
+            tv = pipeline_transform(to_f01(fr16), c.resolution, c.max_resolution)
+            video = tv
+            if c.input_noise_scale > 0:
+                noise = jax.random.normal(nkey, tv.shape, tv.dtype) * 0.05
+                blend = c.input_noise_scale * 0.5
+                video = tv * (1 - blend) + (tv + noise) * blend
+            latent = vae_tiling.vae_encode(
+                vae_params, c.vae, video[None].astype(compute),
+                tiled=c.encode_tiled, tile_size=c.encode_tile_size,
+                tile_overlap=c.encode_tile_overlap, tile_batch=c.encode_tile_batch,
+            )
+            up = step(dit_params, latent, txt, rng, plan_args)
+            return up, tv
+
+        return f
+
+    def _make_chunk_fn(self, plan, i: int, true_h: int, true_w: int):
+        """Decode column tile ``i``, blend it with the carry strip from tile
+        i-1, color-fix + pack the columns that are now final, and emit the
+        (acc, cnt) strip tile i+1 still needs. Replicates tiled_decode's
+        blend math exactly (f32 weighted accumulate -> /cnt -> compute
+        dtype) and _make_fused_fn's finalize chain, so chunks concatenate
+        to the fused program's output bit-for-bit away from fp reassociation."""
+        c = self.cfg
+        from ..ops import color as color_ops
+
+        compute = jnp.dtype(c.compute_dtype)
+        method = c.color_correction
+        n = len(plan.cols)
+        last = i == n - 1
+        p_i = plan.cols[i] * plan.sf
+        strip_lo = 0 if i == 0 else plan.emit[i - 1] - plan.halo
+        strip_hi = p_i + plan.tw
+        emit_lo = 0 if i == 0 else plan.emit[i - 1]
+        emit_hi = plan.emit[i]
+        cin_lo = max(0, emit_lo - (plan.halo if i else 0))
+        cin_hi = min(true_w, emit_hi + (0 if last else plan.halo))
+        ww = vae_tiling._edge_weights(plan.tw, plan.ramp, i == 0, last)
+
+        def f(vae_params, up, tv, carry_acc=None, carry_cnt=None):
+            z = up / c.vae.scaling_factor + c.vae.shifting_factor
+            zt = z[:, :, :, plan.cols[i] : plan.cols[i] + plan.lt_w]
+            dec = vae_tiling.slicing_decode(vae_params, c.vae, zt)
+            w = jnp.asarray(ww, jnp.float32)[None, None, None, :, None]
+            contrib = dec.astype(jnp.float32) * w
+            width = strip_hi - strip_lo
+            T2 = dec.shape[1]
+            acc = jnp.zeros((1, T2, plan.th, width, dec.shape[-1]), jnp.float32)
+            cnt = jnp.zeros((1, 1, plan.th, width, 1), jnp.float32)
+            if carry_acc is not None:
+                acc = acc.at[:, :, :, : carry_acc.shape[3]].set(carry_acc)
+                cnt = cnt.at[:, :, :, : carry_cnt.shape[3]].set(carry_cnt)
+            off = p_i - strip_lo
+            acc = acc.at[:, :, :, off : off + plan.tw].add(contrib)
+            cnt = cnt.at[:, :, :, off : off + plan.tw].add(
+                jnp.broadcast_to(w[:, :1], (1, 1, plan.th, plan.tw, 1))
+            )
+            blended = (acc / jnp.clip(cnt, 1e-6)).astype(compute)
+            a, b = cin_lo - strip_lo, cin_hi - strip_lo
+            x = blended[:, :, :true_h, a:b].astype(jnp.float32)
+            if method != "none":
+                style = tv[None][:, :, :true_h, cin_lo:cin_hi]
+
+                def one(cc, ss):
+                    return color_ops.apply_color_correction(
+                        method, cc.transpose(0, 3, 1, 2), ss.transpose(0, 3, 1, 2)
+                    ).transpose(0, 2, 3, 1)
+
+                x = jax.vmap(one)(x, style)
+            out01 = jnp.clip(x * 0.5 + 0.5, 0.0, 1.0)
+            chunk = _pack_frames(out01, c.output_bits)[
+                0, :, :, emit_lo - cin_lo : emit_hi - cin_lo
+            ]
+            if last:
+                return chunk
+            klo = (plan.emit[i] - plan.halo) - strip_lo
+            return chunk, acc[:, :, :, klo:], cnt[:, :, :, klo:]
+
+        return f
+
+    def fused_batch_chunks(
+        self,
+        frames16: jnp.ndarray,  # [T', h_in, w_in, 3] uint8/f16 in [0, 1]
+        true_h: int,
+        true_w: int,
+        noise_key,
+        seed: int,
+        plan,
+    ):
+        """Streamed sibling of fused_batch: one head executable
+        (transform -> encode -> DiT) then one executable per decode column
+        tile, each returning a finalized packed chunk plus the blend carry
+        for its right neighbour. All programs dispatch asynchronously, so
+        the host can fetch chunk i while tile i+1 (or the next batch's
+        head) still computes — on a thin host link the output transfer
+        hides under compute instead of serializing after it (the
+        reference's CUDA equivalent is stream-overlapped D2H; here it is
+        dispatch-queue overlap). Numerics match fused_batch: same blend,
+        finalize, and pack chain per column (tests/test_pipeline.py).
+        Returns [(col_lo, col_hi, device_chunk [T', true_h, w, 3])...]."""
+        ck = self._cfg_key()
+        key_head = ("chunk_head", ck, frames16.shape, true_h, true_w)
+        head = self._fused_cache.get(key_head)
+        if head is None:
+            head = jax.jit(self._make_head_fn(frames16.shape, true_h, true_w))
+            self._fused_cache[key_head] = head
+        self.ensure_dit_resident()
+        pa = self._plan_args(
+            self._fused_thw(frames16.shape, False), int(self.text_pos.shape[1])
+        )
+        up, tv = head(
+            self.dit_params, self.vae_params, frames16, self.text_pos,
+            noise_key, batch_key(seed, "dit"), pa,
+        )
+        chunks = []
+        carry = ()
+        for i in range(len(plan.cols)):
+            key = ("chunk", ck, frames16.shape, true_h, true_w, i)
+            fn = self._fused_cache.get(key)
+            if fn is None:
+                fn = jax.jit(self._make_chunk_fn(plan, i, true_h, true_w))
+                self._fused_cache[key] = fn
+            out = fn(self.vae_params, up, tv, *carry)
+            if i < len(plan.cols) - 1:
+                chunk, acc, cnt = out
+                carry = (acc, cnt)
+            else:
+                chunk = out
+            chunks.append((0 if i == 0 else plan.emit[i - 1], plan.emit[i], chunk))
+        okey = ("chunk_run", ck, frames16.shape, true_h, true_w)
+        if okey not in self._oom_validated:
+            last = chunks[-1][2]
+            np.asarray(last[(0,) * last.ndim])  # surface OOM before committing
+            self._oom_validated.add(okey)
+        return chunks
+
     # --------------------------- fused finalize ---------------------------- #
 
     def finalize_batch(

@@ -194,6 +194,72 @@ def test_streaming_noise_paths_match_phases():
     np.testing.assert_allclose(streamed, phased, atol=5e-3)
 
 
+def _chunked_runner(color):
+    """Geometry that produces a single-row 3-column decode grid at
+    64x256 output: W_lat=32, tile 16, overlap 4 -> cols [0, 9, 18]."""
+    import dataclasses
+
+    runner, cfg = _make_runner(
+        color_correction=color,
+        decode_tiled=True,
+        decode_tile_size=(64, 128),
+        decode_tile_overlap=(0, 32),
+    )
+    cfg = dataclasses.replace(cfg, resolution=64)
+    runner.cfg = cfg
+    return runner, cfg
+
+
+@pytest.mark.parametrize("color", ["wavelet", "none"])
+def test_chunked_stream_matches_fused(color):
+    """The streamed column-chunk path (head + per-tile executables with a
+    blend-carry strip, Runner.fused_batch_chunks) must reproduce the
+    single-executable fused path: identical blend math, and the color-fix
+    halo (32px >= the wavelet receptive field of 31) makes every emitted
+    pixel see only final blended values."""
+    import dataclasses
+
+    runner, cfg = _chunked_runner(color)
+    frames = _frames(t=5, h=24, w=96, seed=17)
+
+    # the plan must exist, otherwise this test silently runs the fused path
+    th, tw = 64, 256
+    plan = runner.supports_chunked((5, 24, 96, 3), th, tw)
+    assert plan is not None and len(plan.cols) == 3
+    chunked = phases.generate(runner, frames, cfg)
+
+    cfg_off = dataclasses.replace(cfg, chunked_output="off")
+    runner.cfg = cfg_off
+    runner.invalidate_compiled()
+    fused = phases.generate(runner, frames, cfg_off)
+
+    assert chunked.shape == fused.shape
+    np.testing.assert_allclose(chunked, fused, atol=2.0 / 65535 + 1e-4)
+
+
+def test_chunked_stream_packed_u8():
+    runner, cfg = _chunked_runner("wavelet")
+    frames = _frames(t=5, h=24, w=96, seed=19)
+    import dataclasses
+
+    cfg8 = dataclasses.replace(cfg, output_bits=8)
+    runner.cfg = cfg8
+    runner.invalidate_compiled()
+    out = phases.generate(runner, frames, cfg8, packed=True)
+    assert out.dtype == np.uint8 and out.shape == (5, 64, 256, 3)
+    runner.cfg = dataclasses.replace(cfg8, chunked_output="off")
+    runner.invalidate_compiled()
+    ref = phases.generate(runner, frames, runner.cfg, packed=True)
+    np.testing.assert_allclose(
+        out.astype(np.int32), ref.astype(np.int32), atol=1
+    )
+
+
+def test_chunked_plan_rejected_for_global_color():
+    runner, cfg = _chunked_runner("lab")
+    assert runner.supports_chunked((5, 24, 96, 3), 64, 256) is None
+
+
 def test_temporal_overlap_run():
     runner, cfg = _make_runner(temporal_overlap=2, color_correction="none")
     frames = _frames(t=11, seed=4)
