@@ -524,7 +524,9 @@ def generate(
     )
     if can_stream:
         dbg = debug or Debug()
-        for attempt in range(2):
+        tried_conv_fallback = False
+        tried_unchunked = False
+        while True:
             try:
                 out = generate_streaming(
                     runner, images, cfg, dbg, progress_callback, interrupt_fn,
@@ -539,6 +541,26 @@ def generate(
                 return out
             except Exception as e:
                 if "RESOURCE_EXHAUSTED" in str(e):
+                    # First rung: if the streamed column-chunk path was in
+                    # play, retry the fused pipeline monolithic before
+                    # abandoning fusion entirely (the per-tile executables
+                    # add workspace allocations the single program lacks).
+                    if (
+                        not tried_unchunked
+                        and cfg.chunked_output != "off"
+                        and cfg.decode_tiled
+                        and not getattr(runner, "_disable_chunked", False)
+                    ):
+                        tried_unchunked = True
+                        runner._disable_chunked = True
+                        dbg.log(
+                            "HBM exhausted in the streamed column-chunk "
+                            "path; retrying the fused pipeline as one "
+                            "executable per batch",
+                            category="memory",
+                            force=True,
+                        )
+                        continue
                     dbg.log(
                         "HBM exhausted in the fused pipeline; falling back to "
                         "the phase-wise path with the tiling ladder",
@@ -552,7 +574,8 @@ def generate(
                 # program (it embeds many pallas_calls) surfaces here, at
                 # the enclosing jit's compile — retry once on the XLA conv
                 # lowering (ADVICE r2).
-                if attempt == 0 and compile_fallback(e):
+                if not tried_conv_fallback and compile_fallback(e):
+                    tried_conv_fallback = True
                     runner.invalidate_compiled()
                     dbg.log(
                         "pallas conv compile failed in the fused program; "

@@ -554,6 +554,8 @@ class Runner:
         c = self.cfg
         if (
             getattr(c, "chunked_output", "auto") == "off"
+            or getattr(self, "_disable_chunked", False)  # set by generate()
+            # after a chunked-path RESOURCE_EXHAUSTED: retry monolithic
             or not c.decode_tiled
             or c.decode_tile_batch != 1
             or self.mesh is not None

@@ -260,6 +260,30 @@ def test_chunked_plan_rejected_for_global_color():
     assert runner.supports_chunked((5, 24, 96, 3), 64, 256) is None
 
 
+def test_chunked_oom_retries_monolithic(monkeypatch):
+    """A RESOURCE_EXHAUSTED raised while the streamed column-chunk path is
+    active must first retry the fused pipeline monolithic (generate() sets
+    runner._disable_chunked), not drop straight to the 4-phase ladder."""
+    runner, cfg = _chunked_runner("wavelet")
+    frames = _frames(t=5, h=24, w=96, seed=23)
+    real = runner.fused_batch_chunks
+    calls = {"n": 0}
+
+    def boom(*a, **k):
+        calls["n"] += 1
+        raise RuntimeError("RESOURCE_EXHAUSTED: fake chunked OOM")
+
+    monkeypatch.setattr(runner, "fused_batch_chunks", boom)
+    out = phases.generate(runner, frames, cfg)
+    assert calls["n"] == 1  # chunked attempted once...
+    assert getattr(runner, "_disable_chunked", False)  # ...then disabled
+    assert out.shape == (5, 64, 256, 3)  # monolithic retry produced output
+    # and the result matches the chunked path's on a fresh runner
+    runner2, cfg2 = _chunked_runner("wavelet")
+    ref = phases.generate(runner2, frames, cfg2)
+    np.testing.assert_allclose(out, ref, atol=2.0 / 65535 + 1e-4)
+
+
 def test_temporal_overlap_run():
     runner, cfg = _make_runner(temporal_overlap=2, color_correction="none")
     frames = _frames(t=11, seed=4)
