@@ -414,7 +414,14 @@ def main() -> int:
     # both ratios are printed so the consumer-tier comparison stays visible.
     ref_fps = max(ref_fps_4090, ref_fps_h100)
 
+    chunk_plan = runner.supports_chunked((FRAMES, IN_H, IN_W, 3), H_out, W_out)
     extras = {"e2e_s_best": round(best, 3),
+              "pipeline": (
+                  "fused+chunked"
+                  if chunk_plan is not None
+                  and not getattr(runner, "_disable_chunked", False)
+                  else "fused"
+              ),
               "ref_fps_derived_4090": round(ref_fps_4090, 3),
               "ref_fps_derived_h100": round(ref_fps_h100, 3),
               "vs_baseline_4090": round(fps / ref_fps_4090, 4),
