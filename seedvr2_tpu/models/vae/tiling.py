@@ -270,11 +270,18 @@ def tiled_encode(
     B, T, H, W, _ = x.shape
     sf = cfg.spatial_downsample_factor
     ltmax_h, ltmax_w = max(1, tile_size[0] // sf), max(1, tile_size[1] // sf)
-    lo_h = max(0, min(tile_overlap[0] // sf, ltmax_h - 1))
-    lo_w = max(0, min(tile_overlap[1] // sf, ltmax_w - 1))
     H_lat, W_lat = math.ceil(H / sf), math.ceil(W / sf)
     if H <= tile_size[0] and W <= tile_size[1]:
         return slicing_encode(params, cfg, x)
+    ov_h, ov_w = tile_overlap
+    # Zero-overlap axes that still need >1 tile get the default blended
+    # overlap back — see the matching note in tiled_decode.
+    if ov_h == 0 and H_lat > ltmax_h:
+        ov_h = 128
+    if ov_w == 0 and W_lat > ltmax_w:
+        ov_w = 128
+    lo_h = max(0, min(ov_h // sf, ltmax_h - 1))
+    lo_w = max(0, min(ov_w // sf, ltmax_w - 1))
 
     # Equalized uniform tile grid (see _axis_grid). H/W are /16-padded
     # upstream (DivisiblePad) so pixel-space starts are latent-aligned.
@@ -334,6 +341,16 @@ def tiled_decode(
     if H <= ltmax_h and W <= ltmax_w:
         return slicing_decode(params, cfg, z)
     ov_h, ov_w = tile_overlap
+    # Zero overlap on an axis declares "this axis fits in one tile" (the
+    # full-height column configs, e.g. (1088,1024)/(0,128) at 1080p). If the
+    # input outgrows the tile on that axis anyway — the same config applied
+    # to a 4K clip puts rows=2 — zero overlap would leave an unblended hard
+    # seam (the reference always blends tile seams, attn_video_vae.py:
+    # 1544-1596). Restore the default blended overlap on that axis instead.
+    if ov_h == 0 and H > ltmax_h:
+        ov_h = 128
+    if ov_w == 0 and W > ltmax_w:
+        ov_w = 128
     lo_h = max(0, min(ov_h // sf, ltmax_h - 1))
     lo_w = max(0, min(ov_w // sf, ltmax_w - 1))
 
@@ -414,7 +431,10 @@ def column_chunk_plan(
     ltmax_w = max(1, tile_size[1] // sf)
     if H > ltmax_h:  # more than one tile row: not a column grid
         return None
-    lo_w = max(0, min(tile_overlap[1] // sf, ltmax_w - 1))
+    ov_w = tile_overlap[1]
+    if ov_w == 0 and W > ltmax_w:
+        ov_w = 128  # zero-overlap fallback — keep the grid identical to tiled_decode
+    lo_w = max(0, min(ov_w // sf, ltmax_w - 1))
     lt_w, cols = _axis_grid(W, ltmax_w, lo_w)
     if len(cols) < 2:
         return None
@@ -422,7 +442,7 @@ def column_chunk_plan(
     if true_h > th or true_w > W * sf:
         return None
     p = [x * sf for x in cols]
-    ramp = _seam_ramp(tw, p, tile_overlap[1])
+    ramp = _seam_ramp(tw, p, ov_w)
     emit = []
     prev = 0
     for i in range(len(cols) - 1):
@@ -470,13 +490,20 @@ def tiled_decode_staged(
     B, T, H, W, _ = z.shape
     sf = cfg.spatial_downsample_factor
     ltmax_h, ltmax_w = max(1, tile_size[0] // sf), max(1, tile_size[1] // sf)
-    lo_h = max(0, min(tile_overlap[0] // sf, ltmax_h - 1))
-    lo_w = max(0, min(tile_overlap[1] // sf, ltmax_w - 1))
+    ov_h, ov_w = tile_overlap
+    # Keep grid selection identical to tiled_decode: zero-overlap axes that
+    # still need >1 tile fall back to the default blended overlap.
+    if ov_h == 0 and H > ltmax_h:
+        ov_h = 128
+    if ov_w == 0 and W > ltmax_w:
+        ov_w = 128
+    lo_h = max(0, min(ov_h // sf, ltmax_h - 1))
+    lo_w = max(0, min(ov_w // sf, ltmax_w - 1))
     lt_h, rows = _axis_grid(H, ltmax_h, lo_h)
     lt_w, cols = _axis_grid(W, ltmax_w, lo_w)
     th, tw = lt_h * sf, lt_w * sf
-    r_h = _seam_ramp(th, [y * sf for y in rows], tile_overlap[0])
-    r_w = _seam_ramp(tw, [x * sf for x in cols], tile_overlap[1])
+    r_h = _seam_ramp(th, [y * sf for y in rows], ov_h)
+    r_w = _seam_ramp(tw, [x * sf for x in cols], ov_w)
 
     out_shape = jax.eval_shape(
         lambda zt: slicing_decode(params, cfg, zt),

@@ -116,6 +116,42 @@ def test_tiled_decode_shape_and_blend(params):
     assert seam_jump < 10 * typical_jump + 1e-3
 
 
+def test_zero_overlap_outgrown_axis_gets_blended(params):
+    """A zero-overlap axis that still needs >1 tile must fall back to a
+    blended overlap instead of leaving a hard seam — the 1080p full-height
+    column config (tile 1088 rows, row overlap 0) applied to a 4K-tall clip
+    put two tile-rows edge-to-edge with no ramp (round-4 regression fix).
+    With the fallback, the row seam blends exactly like the column seams."""
+    z = jax.random.normal(jax.random.PRNGKey(13), (1, 2, 8, 8, CFG.latent_channels)) * 0.5
+    # tile covers full width (64px >= 64) but only half the height, with
+    # zero row overlap: before the fix this produced an unblended seam at
+    # pixel row 32
+    tiled = tiling.vae_decode(
+        params, CFG, z, tiled=True, tile_size=(32, 64), tile_overlap=(0, 16)
+    )
+    t = np.asarray(tiled)
+    assert np.isfinite(t).all()
+    seam_jump = np.abs(t[:, :, 32, :] - t[:, :, 31, :]).mean()
+    typical_jump = np.abs(np.diff(t, axis=2)).mean()
+    assert seam_jump < 10 * typical_jump + 1e-3
+    # and the blended grid must match the explicitly-blended config exactly
+    # (the fallback restores the default 128px overlap; at this tiny scale
+    # that clamps to the same grid as any >=tile-size overlap request)
+    explicit = tiling.vae_decode(
+        params, CFG, z, tiled=True, tile_size=(32, 64), tile_overlap=(128, 16)
+    )
+    np.testing.assert_allclose(t, np.asarray(explicit), atol=2e-5)
+    # encode path: same rule
+    x = jax.random.normal(jax.random.PRNGKey(14), (1, 5, 64, 32, 3))
+    lat0 = tiling.vae_encode(
+        params, CFG, x, tiled=True, tile_size=(32, 32), tile_overlap=(0, 8)
+    )
+    lat1 = tiling.vae_encode(
+        params, CFG, x, tiled=True, tile_size=(32, 32), tile_overlap=(128, 8)
+    )
+    np.testing.assert_allclose(np.asarray(lat0), np.asarray(lat1), atol=2e-5)
+
+
 def test_staged_decode_matches_device_tiled(params):
     """Host-staged tile accumulation (the decode OOM ladder's last rung,
     tiling.tiled_decode_staged) must reproduce the device-side tiled decode:
