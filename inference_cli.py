@@ -82,6 +82,13 @@ def parse_arguments(argv: Optional[List[str]] = None) -> argparse.Namespace:
         help="int8 weight-only DiT storage (TPU analog of the fp8/GGUF VRAM tiers)",
     )
     p.add_argument("--fps", type=float, default=0.0, help="override output fps")
+    p.add_argument(
+        "--10bit", dest="use_10bit", action="store_true",
+        help="10-bit x265 output (reference flag, inference_cli.py:1356; "
+             "here the ffmpeg writer is already 10-bit x265 by default, so "
+             "this only forces 16-bit device->host transfer and warns when "
+             "ffmpeg is unavailable)",
+    )
     # mesh layout
     p.add_argument("--mesh", type=str, default="auto", help="auto or 'data,seq,tensor' e.g. 2,2,2")
     # Reference CUDA-only flags: accepted, ignored (BlockSwap/compile/offload
@@ -127,6 +134,8 @@ def _resolve_output_bits(args) -> int:
         return 16
     from seedvr2_tpu.io import video as vio
 
+    if args.use_10bit and not vio.have_ffmpeg():
+        print("⚠️ --10bit requested but ffmpeg is unavailable; falling back to 8-bit cv2 mp4")
     return 16 if vio.have_ffmpeg() else 8
 
 

@@ -29,6 +29,14 @@ CASES = {
     "monolithic": dict(chunked_output="off"),
     "mono_tb2": dict(chunked_output="off", decode_tile_batch=2),
     "chunked2": dict(chunked_output="auto"),
+    # full-height column ENCODE tiles (VAE-only A/B: 1.136s vs 1.240s for
+    # the 1024/128 grid — scripts/tile_grid_ab.py) inside the full chunked
+    # pipeline
+    "enc_fh": dict(
+        chunked_output="auto",
+        encode_tile_size=(1088, 1024),
+        encode_tile_overlap=(0, 128),
+    ),
 }
 
 

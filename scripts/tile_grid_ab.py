@@ -51,6 +51,9 @@ def main():
     from seedvr2_tpu.models.vae import tiling
     from seedvr2_tpu.models.vae.model import init_vae_params
 
+    # --only SUBSTR: run just the matching cases (isolate OOM-prone ones)
+    flt = sys.argv[sys.argv.index("--only") + 1] if "--only" in sys.argv else None
+
     print(f"sentinel: {sentinel():.3f}s", flush=True)
     cfg = vae_config()
     params = init_vae_params(cfg, jax.random.PRNGKey(0), dtype=jnp.bfloat16)
@@ -60,6 +63,8 @@ def main():
         ("enc 1024/128 (today: 4 tiles 608x1024)", (1024, 1024), (128, 128)),
         ("enc full-height (2 tiles 1088x1024)", (1088, 1024), (0, 128)),
     ):
+        if flt and flt not in name:
+            continue
         fn = jax.jit(
             lambda p, v, _ts=ts, _to=to: tiling.vae_encode(
                 p, cfg, v, tiled=True, tile_size=_ts, tile_overlap=_to
@@ -72,9 +77,17 @@ def main():
 
     lat4k = jax.random.normal(jax.random.PRNGKey(3), (1, 2, 272, 480, 16), jnp.bfloat16) * 0.5
     for name, ts, to in (
-        ("dec4k 1088x1024 (today: 10 tiles, UNBLENDED row seam)", (1088, 1024), (0, 128)),
+        ("dec4k 1088x1024 (15 blended 816x872 tiles after the seam fix)", (1088, 1024), (0, 128)),
         ("dec4k full-height (5 tiles 2176x872, no row seam)", (2176, 1024), (0, 128)),
+        # tile_h=1152 is the smallest height whose equalized grid covers 2176
+        # rows in TWO blended rows (lt 144, overlap 16 latent); any height in
+        # [1152, 2175] yields the same grid. Buffers stay under the helper's
+        # compile limit (c128 stage ~1.3GB vs full-height's 2.85GB failure).
+        ("dec4k 1152x1024 (10 blended 1152x872 tiles)", (1152, 1024), (0, 128)),
+        ("dec4k 1152x1152 (8 blended 1152x1056 tiles)", (1152, 1152), (0, 128)),
     ):
+        if flt and flt not in name:
+            continue
         try:
             fn = jax.jit(
                 lambda p, z, _ts=ts, _to=to: tiling.vae_decode(

@@ -82,6 +82,8 @@ def test_cli_video_end_to_end(tiny_model_dir, tmp_path):
             "--resolution", "32",
             "--color_correction", "none",
             "--batch_size", "5",
+            # reference flag (inference_cli.py:1356) — must parse and run
+            "--10bit",
         ]
     )
     assert rc == 0
