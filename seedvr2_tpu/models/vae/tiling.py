@@ -137,6 +137,24 @@ def _tile_starts(total: int, tile: int, stride: int) -> list:
     return starts
 
 
+def effective_pixel_overlap(ov: int, extent_lat: int, ltmax: int, sf: int) -> int:
+    """Pixel overlap for one axis after the hard-seam guard.
+
+    A pixel overlap that floors to ZERO latent overlap (any ov < sf,
+    including the explicit 0 of the full-axis column configs) declares
+    "this axis fits in one tile". When the axis still needs more than one
+    tile — e.g. the (1088,1024)/(0,128) 1080p config applied to a 4K clip —
+    zero latent overlap would leave an unblended hard seam; the reference
+    always blends tile seams (reference: attn_video_vae.py:1544-1596), so
+    restore the default blended 128px overlap on that axis instead. Shared
+    by tiled_encode/tiled_decode/tiled_decode_staged/column_chunk_plan and
+    the --tile_debug overlay (utils/tile_debug.py) so the drawn grid is the
+    grid that runs."""
+    if extent_lat > ltmax and ov // sf <= 0:
+        return 128
+    return ov
+
+
 def _axis_grid(total: int, tile_max: int, overlap: int) -> Tuple[int, list]:
     """Equalized tile grid for one axis (latent coordinates).
 
@@ -273,13 +291,10 @@ def tiled_encode(
     H_lat, W_lat = math.ceil(H / sf), math.ceil(W / sf)
     if H <= tile_size[0] and W <= tile_size[1]:
         return slicing_encode(params, cfg, x)
-    ov_h, ov_w = tile_overlap
-    # Zero-overlap axes that still need >1 tile get the default blended
-    # overlap back — see the matching note in tiled_decode.
-    if ov_h == 0 and H_lat > ltmax_h:
-        ov_h = 128
-    if ov_w == 0 and W_lat > ltmax_w:
-        ov_w = 128
+    # Sub-latent overlaps on a multi-tile axis get the default blended
+    # overlap back (effective_pixel_overlap; matching note in tiled_decode).
+    ov_h = effective_pixel_overlap(tile_overlap[0], H_lat, ltmax_h, sf)
+    ov_w = effective_pixel_overlap(tile_overlap[1], W_lat, ltmax_w, sf)
     lo_h = max(0, min(ov_h // sf, ltmax_h - 1))
     lo_w = max(0, min(ov_w // sf, ltmax_w - 1))
 
@@ -340,17 +355,11 @@ def tiled_decode(
     ltmax_h, ltmax_w = max(1, tile_size[0] // sf), max(1, tile_size[1] // sf)
     if H <= ltmax_h and W <= ltmax_w:
         return slicing_decode(params, cfg, z)
-    ov_h, ov_w = tile_overlap
-    # Zero overlap on an axis declares "this axis fits in one tile" (the
-    # full-height column configs, e.g. (1088,1024)/(0,128) at 1080p). If the
-    # input outgrows the tile on that axis anyway — the same config applied
-    # to a 4K clip puts rows=2 — zero overlap would leave an unblended hard
-    # seam (the reference always blends tile seams, attn_video_vae.py:
-    # 1544-1596). Restore the default blended overlap on that axis instead.
-    if ov_h == 0 and H > ltmax_h:
-        ov_h = 128
-    if ov_w == 0 and W > ltmax_w:
-        ov_w = 128
+    # An overlap that floors to zero latent overlap on a multi-tile axis
+    # would leave an unblended hard seam — restore the default blended
+    # overlap there (effective_pixel_overlap).
+    ov_h = effective_pixel_overlap(tile_overlap[0], H, ltmax_h, sf)
+    ov_w = effective_pixel_overlap(tile_overlap[1], W, ltmax_w, sf)
     lo_h = max(0, min(ov_h // sf, ltmax_h - 1))
     lo_w = max(0, min(ov_w // sf, ltmax_w - 1))
 
@@ -431,9 +440,8 @@ def column_chunk_plan(
     ltmax_w = max(1, tile_size[1] // sf)
     if H > ltmax_h:  # more than one tile row: not a column grid
         return None
-    ov_w = tile_overlap[1]
-    if ov_w == 0 and W > ltmax_w:
-        ov_w = 128  # zero-overlap fallback — keep the grid identical to tiled_decode
+    # keep the grid identical to tiled_decode's hard-seam guard
+    ov_w = effective_pixel_overlap(tile_overlap[1], W, ltmax_w, sf)
     lo_w = max(0, min(ov_w // sf, ltmax_w - 1))
     lt_w, cols = _axis_grid(W, ltmax_w, lo_w)
     if len(cols) < 2:
@@ -490,13 +498,9 @@ def tiled_decode_staged(
     B, T, H, W, _ = z.shape
     sf = cfg.spatial_downsample_factor
     ltmax_h, ltmax_w = max(1, tile_size[0] // sf), max(1, tile_size[1] // sf)
-    ov_h, ov_w = tile_overlap
-    # Keep grid selection identical to tiled_decode: zero-overlap axes that
-    # still need >1 tile fall back to the default blended overlap.
-    if ov_h == 0 and H > ltmax_h:
-        ov_h = 128
-    if ov_w == 0 and W > ltmax_w:
-        ov_w = 128
+    # Keep grid selection identical to tiled_decode's hard-seam guard.
+    ov_h = effective_pixel_overlap(tile_overlap[0], H, ltmax_h, sf)
+    ov_w = effective_pixel_overlap(tile_overlap[1], W, ltmax_w, sf)
     lo_h = max(0, min(ov_h // sf, ltmax_h - 1))
     lo_w = max(0, min(ov_w // sf, ltmax_w - 1))
     lt_h, rows = _axis_grid(H, ltmax_h, lo_h)

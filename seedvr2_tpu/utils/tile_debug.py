@@ -22,13 +22,17 @@ def tile_boundaries(
     actually run: the equalized uniform grid (_axis_grid), not a naive
     fixed-stride one — the whole point of the overlay is tuning tile
     size/overlap, so it must show the real tiles."""
-    from ..models.vae.tiling import _axis_grid
+    from ..models.vae.tiling import _axis_grid, effective_pixel_overlap
 
     sf = spatial_downsample
     H_lat, W_lat = math.ceil(height / sf), math.ceil(width / sf)
     ltmax_h, ltmax_w = max(1, tile_size[0] // sf), max(1, tile_size[1] // sf)
-    lo_h = max(0, min(tile_overlap[0] // sf, ltmax_h - 1))
-    lo_w = max(0, min(tile_overlap[1] // sf, ltmax_w - 1))
+    # Same hard-seam guard tiled_encode/tiled_decode apply, so the overlay
+    # shows the grid that actually ran (ADVICE r4).
+    ov_h = effective_pixel_overlap(tile_overlap[0], H_lat, ltmax_h, sf)
+    ov_w = effective_pixel_overlap(tile_overlap[1], W_lat, ltmax_w, sf)
+    lo_h = max(0, min(ov_h // sf, ltmax_h - 1))
+    lo_w = max(0, min(ov_w // sf, ltmax_w - 1))
     if H_lat <= ltmax_h and W_lat <= ltmax_w:
         return []
     lt_h, rows = _axis_grid(H_lat, ltmax_h, lo_h)
