@@ -84,10 +84,12 @@ def parse_arguments(argv: Optional[List[str]] = None) -> argparse.Namespace:
     p.add_argument("--fps", type=float, default=0.0, help="override output fps")
     p.add_argument(
         "--10bit", dest="use_10bit", action="store_true",
-        help="10-bit x265 output (reference flag, inference_cli.py:1356; "
-             "here the ffmpeg writer is already 10-bit x265 by default, so "
-             "this only forces 16-bit device->host transfer and warns when "
-             "ffmpeg is unavailable)",
+        help="10-bit x265 output (reference flag, inference_cli.py:1356). "
+             "The ffmpeg writer here is already 10-bit x265 by default; "
+             "this forces the 16-bit device->host transfer under "
+             "--output_bits auto, warns when ffmpeg is unavailable (8-bit "
+             "cv2 fallback), and warns if contradicted by an explicit "
+             "--output_bits 8",
     )
     # mesh layout
     p.add_argument("--mesh", type=str, default="auto", help="auto or 'data,seq,tensor' e.g. 2,2,2")
@@ -107,13 +109,20 @@ def parse_arguments(argv: Optional[List[str]] = None) -> argparse.Namespace:
              "are independent; 'off' forces the 4-phase pipeline "
              "(per-phase progress + OOM tiling ladder)",
     )
+    p.add_argument(
+        "--video_backend", type=str, default="auto",
+        choices=["auto", "opencv", "ffmpeg"],
+        help="video decode/encode backend (reference flag, "
+             "inference_cli.py:1354). 'ffmpeg' also reads >8-bit sources "
+             "losslessly (uint16 frames feed the 16-bit device path); "
+             "'auto' picks ffmpeg exactly when the source is >8-bit",
+    )
     for flag in [
         "--blocks_to_swap", "--swap_io_components", "--cuda_device",
         "--dit_offload_device", "--vae_offload_device",
         "--compile_dit", "--compile_vae", "--compile_mode", "--compile_backend",
         "--compile_fullgraph", "--compile_dynamic", "--compile_dynamo_cache_size_limit",
         "--compile_dynamo_recompile_limit", "--cache_dit", "--cache_vae",
-        "--video_backend",
     ]:
         p.add_argument(flag, nargs="?", default=None, help=argparse.SUPPRESS)
     return p.parse_args(argv)
@@ -129,17 +138,23 @@ def _resolve_output_bits(args) -> int:
     PNG16 or the 10-bit x265 ffmpeg writer; the cv2 fallback writes 8-bit
     mp4, so a 16-bit transfer would be wasted bytes on the host link."""
     if args.output_bits != "auto":
-        return int(args.output_bits)
+        bits = int(args.output_bits)
+        if args.use_10bit and bits == 8:
+            print("⚠️ --10bit ignored: explicit --output_bits 8 forces the 8-bit transfer")
+        return bits
     if args.output_format == "png":
         return 16
     from seedvr2_tpu.io import video as vio
 
-    if args.use_10bit and not vio.have_ffmpeg():
+    if vio.have_ffmpeg():
+        return 16
+    if args.use_10bit:
         print("⚠️ --10bit requested but ffmpeg is unavailable; falling back to 8-bit cv2 mp4")
-    return 16 if vio.have_ffmpeg() else 8
+        return 16  # honor the flag: lossless transfer even to the 8-bit sink
+    return 8
 
 
-def build_runner(args):
+def build_runner(args, mesh=None):
     from seedvr2_tpu.config import PipelineConfig, dit_3b, vae_config
     from seedvr2_tpu.io.registry import DEFAULT_DIT
     from seedvr2_tpu.ops.attention import set_attention_backend
@@ -203,15 +218,25 @@ def build_runner(args):
         decode_tile_overlap=_pair(args.vae_decode_tile_overlap),
         output_bits=_resolve_output_bits(args),
     )
+    shard_dit = mesh is not None and mesh.shape.get("tensor", 1) > 1
     runner = load_runner(
         dit_model=dit_name,
         vae_model=args.vae_model,
         model_dir=args.model_dir,
         cfg=cfg,
         quantize=None if args.quantize == "none" else args.quantize,
+        mesh=mesh,
+        shard_dit=shard_dit,
         debug=debug,
         emb_dir=os.path.dirname(os.path.abspath(__file__)),
     )
+    if mesh is not None:
+        debug.log(
+            f"mesh: data={mesh.shape.get('data', 1)} "
+            f"seq={mesh.shape.get('seq', 1)} tensor={mesh.shape.get('tensor', 1)}"
+            + (" (DiT tensor-sharded)" if shard_dit else ""),
+            category="setup", force=True,
+        )
     return runner, runner.cfg, debug
 
 
@@ -237,32 +262,82 @@ def process_frames(runner, cfg, frames: np.ndarray, debug, mesh=None, tile_debug
     return out
 
 
-def build_mesh(args):
+def _estimate_dit(args):
+    """(heads, estimated resident DiT bytes) for the mesh policy, mirroring
+    the loader's quantization default (pipeline/loader.py:auto_quantize)."""
+    from seedvr2_tpu.config import dit_3b, dit_7b, dit_tiny
+    from seedvr2_tpu.io.registry import DEFAULT_DIT, model_variant
+    from seedvr2_tpu.pipeline.loader import auto_quantize, dit_param_bytes
+    from seedvr2_tpu.pipeline.phases import _hbm_bytes
+
+    name = args.dit_model or DEFAULT_DIT
+    cfg = {"7b": dit_7b, "tiny": dit_tiny}.get(model_variant(name), dit_3b)()
+    quant = auto_quantize(cfg, None if args.quantize == "none" else args.quantize,
+                          _hbm_bytes())
+    if name.endswith(".gguf"):
+        quant = "int8"
+    return cfg.heads, dit_param_bytes(cfg, quant)
+
+
+def build_mesh(args, n_frames: Optional[int] = None):
+    """Device mesh for this invocation. ``--mesh auto`` is workload-aware
+    (parallel/mesh.py:auto_mesh_shape): frame data-parallelism first for
+    videos with >= 2 frames/chip, tensor-sharded DiT for images and for
+    models that don't fit one chip — the TPU analog of the reference's
+    one-flag multi-GPU UX (reference: inference_cli.py:1127-1288)."""
     import jax
 
     from seedvr2_tpu.parallel.mesh import auto_mesh, make_mesh
+    from seedvr2_tpu.pipeline.phases import _hbm_bytes
 
     if len(jax.devices()) == 1:
         return None
-    if args.mesh == "auto":
-        return auto_mesh()
-    d, s, t = (int(x) for x in args.mesh.split(","))
-    return make_mesh(d, s, t)
+    if args.mesh != "auto":
+        d, s, t = (int(x) for x in args.mesh.split(","))
+        return make_mesh(d, s, t)
+    heads, dit_bytes = _estimate_dit(args)
+    return auto_mesh(
+        n_frames=n_frames, heads=heads, model_bytes=dit_bytes,
+        hbm_bytes=_hbm_bytes(),
+    )
+
+
+def _probe_frames(args, kind: str) -> Optional[int]:
+    """Frame count of one processing call, for the mesh policy: images are
+    1, videos are bounded by chunking/caps; directories are mixed (None ->
+    the data-first default)."""
+    if kind == "image":
+        return 1
+    if kind != "video":
+        return None
+    from seedvr2_tpu.io import video as vio
+
+    try:
+        reader = vio.make_video_reader(args.input, backend=args.video_backend)
+        total = reader.total_frames - args.skip_first_frames
+        reader.close()
+    except Exception:
+        return None
+    if args.load_cap:
+        total = min(total, args.load_cap)
+    if args.chunk_size:
+        total = min(total, args.chunk_size)
+    return max(int(total), 1)
 
 
 def main(argv: Optional[List[str]] = None) -> int:
     args = parse_arguments(argv)
     from seedvr2_tpu.io import video as vio
 
-    runner, cfg, debug = build_runner(args)
-    mesh = build_mesh(args)
     kind = vio.input_type(args.input)
+    mesh = build_mesh(args, _probe_frames(args, kind))
+    runner, cfg, debug = build_runner(args, mesh)
     t0 = time.time()
     n_frames = 0
 
     if kind == "image":
         img = vio.read_image(args.input)
-        out = process_frames(runner, cfg, img[None], debug)
+        out = process_frames(runner, cfg, img[None], debug, mesh)
         out_path = args.output or _default_out(args.input, "png")
         vio.write_image(out_path, out[0])
         n_frames = 1
@@ -284,7 +359,7 @@ def main(argv: Optional[List[str]] = None) -> int:
             base, ext = os.path.splitext(f)
             if ext.lower() in vio.IMAGE_EXTS:
                 img = vio.read_image(src)
-                out = process_frames(runner, cfg, img[None], debug)
+                out = process_frames(runner, cfg, img[None], debug, mesh)
                 vio.write_image(os.path.join(out_dir, f), out[0])
                 n_frames += 1
             else:
@@ -312,7 +387,9 @@ def _process_video(args, runner, cfg, debug, mesh, in_path: str, out_path: str) 
     from seedvr2_tpu.io import video as vio
 
     n_frames = 0
-    reader = vio.VideoReader(in_path, dtype=np.uint8)
+    reader = vio.make_video_reader(in_path, dtype=np.uint8, backend=args.video_backend)
+    if reader.dtype == np.uint16:
+        print(f"ffmpeg reader: >8-bit source decodes to uint16 (16-bit device path)")
     if args.skip_first_frames:
         reader.seek(args.skip_first_frames)
     fps = args.fps or reader.fps
@@ -347,14 +424,17 @@ def _process_video(args, runner, cfg, debug, mesh, in_path: str, out_path: str) 
             vio.write_png_sequence(os.path.splitext(out_path)[0], arr, start_index=n_frames)
         elif manifest is not None:
             seg = manifest.segment_path(ci)
-            w = vio.make_video_writer(seg, arr.shape[2], arr.shape[1], fps)
+            w = vio.make_video_writer(
+                seg, arr.shape[2], arr.shape[1], fps, backend=args.video_backend
+            )
             w.write(arr[..., :3])
             w.close()
             manifest.mark_done(ci, seg)
         else:
             if writer is None:
                 writer = vio.make_video_writer(
-                    out_path, arr.shape[2], arr.shape[1], fps, audio_source=in_path
+                    out_path, arr.shape[2], arr.shape[1], fps,
+                    backend=args.video_backend, audio_source=in_path,
                 )
             writer.write(arr[..., :3])
         n_frames += len(arr)

@@ -18,6 +18,32 @@ from ..config import PipelineConfig, dit_3b, dit_7b, vae_config
 from ..utils.debug import Debug
 
 
+def dit_param_bytes(dit_cfg, quantize: Optional[str] = None) -> int:
+    """Estimated resident bytes of the DiT weights (shape-only eval, no
+    allocation) — feeds the workload-aware mesh policy
+    (parallel/mesh.py:auto_mesh_shape)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.dit.nadit import init_params
+
+    tree = jax.eval_shape(
+        lambda k: init_params(dit_cfg, k, jnp.bfloat16), jax.random.PRNGKey(0)
+    )
+    n = sum(int(np.prod(l.shape)) for l in jax.tree.leaves(tree))
+    return n * (1 if quantize == "int8" else 2)
+
+
+def auto_quantize(dit_cfg, quantize: Optional[str], hbm_bytes: int) -> Optional[str]:
+    """The loader's quantization default: 7B bf16 (~14.5GB) doesn't fit next
+    to activations on a 16GB chip, and int8-at-rest measures FASTER than
+    bf16 (docs/PERFORMANCE.md) — the TPU analog of the reference defaulting
+    the 7B tier to fp8 (reference: model_registry.py:56)."""
+    if quantize is None and dit_cfg.variant == "7b" and hbm_bytes < 20 << 30:
+        return "int8"
+    return quantize
+
+
 def load_runner(
     dit_model: str,
     vae_model: str = "ema_vae_fp16.safetensors",
@@ -77,15 +103,11 @@ def load_runner(
 
     from .phases import _hbm_bytes
 
-    if quantize is None and cfg.dit.variant == "7b" and _hbm_bytes() < 20 << 30:
-        # 7B bf16 weights (~14.5GB) don't fit next to activations on a 16GB
-        # chip; int8-at-rest runs *faster* than bf16 here (the int8->bf16
-        # widening fuses into the MXU load, docs/PERFORMANCE.md) — the TPU
-        # analog of the reference's fp8/GGUF default tier for 7B
-        # (reference: model_registry.py:56 defaults to fp8).
-        quantize = "int8"
+    q = auto_quantize(cfg.dit, quantize, _hbm_bytes())
+    if q != quantize:
         debug.log("7B on <20GB HBM: defaulting to int8 weight storage",
                   category="dit", force=True)
+    quantize = q
     if quantize == "int8" or dit_model.endswith(".gguf"):
         from ..ops.quant import quantize_dit_params
 

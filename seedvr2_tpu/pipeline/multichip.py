@@ -39,13 +39,19 @@ def generate_multichip(
     mesh: jax.sharding.Mesh,
     seam_overlap: int = 4,
     debug: Optional[Debug] = None,
+    progress_callback=None,
+    interrupt_fn=None,
 ) -> np.ndarray:
     """Upscale `images` using all devices on the mesh's "data" axis.
 
     Segments are padded to a common 4n+1 length so every chip runs the same
     program; padding frames are reversed-frame extensions (the reference's
     pad_video_temporal) and trimmed before seam blending.
-    """
+
+    ``interrupt_fn`` is checked before every per-spec SPMD dispatch;
+    ``progress_callback`` receives the same weighted-phase protocol as the
+    fused streaming path (phases 1-2 reported complete up front, 3 advances
+    per spec — one program covers all phases)."""
     cfg = runner.cfg
     debug = debug or Debug()
     n = mesh.shape["data"]
@@ -56,10 +62,14 @@ def generate_multichip(
         if n > 1:
             debug.log(
                 f"multichip: {total0} frames < 2 per chip on data={n}; "
-                "running the single-chip pipeline",
+                "falling back to the single-program pipeline (tile-parallel "
+                "VAE still uses the mesh)",
                 category="generation", force=True,
             )
-        return phases.generate(runner, images, cfg, debug)
+        return phases.generate(
+            runner, images, cfg, debug,
+            progress_callback=progress_callback, interrupt_fn=interrupt_fn,
+        )
 
     if cfg.prepend_frames > 0:
         images = batching.pad_temporal_reversed(images, cfg.prepend_frames, prepend=True)
@@ -85,7 +95,14 @@ def generate_multichip(
     key_noise = batch_key(cfg.seed, "input_noise")
     out_segs = np.zeros((n, target_len, true_h, true_w, 3), np.float32)
     write_idx = 0
-    for spec in specs:
+    if progress_callback:
+        # One SPMD program covers all four phases per spec; report like the
+        # fused streaming path so weighted consumers stay monotonic.
+        progress_callback(1, 1, 0, "Phase 1: Encoding")
+        progress_callback(1, 1, 0, "Phase 2: Upscaling")
+    for si, spec in enumerate(specs):
+        if interrupt_fn is not None:
+            interrupt_fn()
         batch = np.stack([batching.prepare_batch(segs[i], spec) for i in range(n)])
         # [n, T', H, W, 3] u8/f16 sharded over data -> whole per-spec chain
         # as ONE SPMD program (transform/noise/encode/DiT/decode/color/u16 —
@@ -102,6 +119,8 @@ def generate_multichip(
             jax.device_get(u16)
         )[:, :t_real]
         write_idx += t_real
+        if progress_callback:
+            progress_callback(si + 1, len(specs), t_real * n, "Phase 3: Decoding")
     if write_idx < target_len - (cfg.batch_size - 1):
         raise RuntimeError(
             f"multichip batching drift: wrote {write_idx} of {target_len} frames "
@@ -145,4 +164,6 @@ def generate_multichip(
 
     if cfg.prepend_frames > 0:
         final = final[cfg.prepend_frames :]
+    if progress_callback:
+        progress_callback(1, 1, 0, "Phase 4: Post-processing")
     return final

@@ -71,13 +71,14 @@ def _transform_jit(resolution: int, max_resolution: int):
 
 
 def _upload_frames(rgb: np.ndarray) -> jnp.ndarray:
-    """Host frames -> device, minimizing link bytes: uint8 decoder output
-    uploads raw (1 B/px, scaled in-program by ops/resize.py:to_f01); float
-    frames cross as float16 (half the bytes, >10-bit fidelity) and are
-    widened on device."""
+    """Host frames -> device, minimizing link bytes: uint8/uint16 decoder
+    output uploads raw (1-2 B/px, scaled in-program by
+    ops/resize.py:to_f01; uint16 = the ffmpeg reader's >8-bit decode);
+    float frames cross as float16 (half the bytes, >10-bit fidelity) and
+    are widened on device."""
     if not isinstance(rgb, np.ndarray):
         return rgb
-    if rgb.dtype == np.uint8:
+    if rgb.dtype in (np.uint8, np.uint16):
         return jnp.asarray(rgb)
     return jnp.asarray(rgb.astype(np.float16))
 
@@ -382,6 +383,10 @@ def decode_and_postprocess_fused(
         debug.end_timer(f"finalize_batch_{bi+1}", f"Finalized batch {bi+1}/{n}")
         if progress_callback:
             progress_callback(bi + 1, n, ori, "Phase 3: Decoding")
+    if progress_callback:
+        # this fused path IS phase 4 (color/normalize ran in finalize_batch);
+        # close the weighted bar at 100% like the reference's last phase
+        progress_callback(1, 1, 0, "Phase 4: Post-processing")
     ctx["final_video"] = final[:write]
     debug.end_timer("phase34_fused", "Phases 3+4 (fused) complete")
     debug.log_memory_state("after phase34")
@@ -487,6 +492,28 @@ def generate_streaming(
     return final[:write]
 
 
+def _chunked_was_in_play(runner: Runner, images: np.ndarray, cfg: PipelineConfig) -> bool:
+    """Whether generate_streaming would have routed the first batch through
+    the streamed column-chunk path — i.e. runner.supports_chunked returns a
+    plan for the first batch's frame shape. Used to gate the monolithic OOM
+    retry rung so it only fires when chunking was plausibly the culprit."""
+    try:
+        specs = batching.compute_batches(
+            len(images), cfg.batch_size, 0, cfg.uniform_batch_size
+        )
+        if not specs:
+            return False
+        s = specs[0]
+        t = batching.frames_to_4n1(s.ori_length + s.uniform_padding)
+        fr_shape = (t, images.shape[1], images.shape[2], 3)
+        true_h, true_w = true_target_dims(
+            images.shape[1], images.shape[2], cfg.resolution, cfg.max_resolution
+        )
+        return runner.supports_chunked(fr_shape, true_h, true_w) is not None
+    except Exception:
+        return False
+
+
 def generate(
     runner: Runner,
     images: np.ndarray,
@@ -545,11 +572,14 @@ def generate(
                     # play, retry the fused pipeline monolithic before
                     # abandoning fusion entirely (the per-tile executables
                     # add workspace allocations the single program lacks).
+                    # Gate on the SAME conditions supports_chunked applies
+                    # to the first batch shape — when chunking never ran,
+                    # a monolithic retry would just re-run the identical
+                    # program that OOM'd (ADVICE r4).
                     if (
                         not tried_unchunked
-                        and cfg.chunked_output != "off"
-                        and cfg.decode_tiled
                         and not getattr(runner, "_disable_chunked", False)
+                        and _chunked_was_in_play(runner, images, cfg)
                     ):
                         tried_unchunked = True
                         runner._disable_chunked = True

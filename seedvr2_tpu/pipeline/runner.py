@@ -125,19 +125,22 @@ class Runner:
     # ------------------------------- VAE ----------------------------------- #
 
     def _tile_parallel(self, batch_dim: int):
-        """Tile-parallel VAE across the mesh "data" axis for single-segment
-        inputs: tiles are batched and sharded one-per-chip. This is the
-        short-clip replacement for the reference's (stubbed) temporal
+        """Tile-parallel VAE across ALL mesh axes for single-segment inputs:
+        tiles are data-parallel work, so the tile batch shards over the
+        flattened ("data","seq","tensor") axes — on a tensor-sharded-DiT
+        mesh (images, 7B-on-small-HBM) the VAE still uses every chip. This
+        is the short-clip replacement for the reference's (stubbed) temporal
         context-parallel ring (context_parallel_lib.py:26-67) — see
         docs/PERFORMANCE.md "Cross-device VAE" for the measured trade-off
         vs a temporal wavefront pipeline. Long clips use frame-DP instead
         (pipeline/multichip.py), where batch_dim > 1 already fills the axis."""
         if self.mesh is None or batch_dim != 1:
             return 0, None
-        n = self.mesh.shape.get("data", 1)
+        axes = tuple(a for a in ("data", "seq", "tensor") if self.mesh.shape.get(a, 1) > 1)
+        n = int(np.prod([self.mesh.shape[a] for a in axes])) if axes else 1
         if n <= 1:
             return 0, None
-        return n, jax.sharding.NamedSharding(self.mesh, jax.sharding.PartitionSpec("data"))
+        return n, jax.sharding.NamedSharding(self.mesh, jax.sharding.PartitionSpec(axes))
 
     def _vae_fn(self, kind: str, tiled, ts, to, tb, arr_shape, arr_dtype):
         """One compiled executable for the WHOLE tiled encode/decode: the
@@ -280,6 +283,25 @@ class Runner:
 
     # ------------------------------- DiT ----------------------------------- #
 
+    def _dit_sharding_ctx(self):
+        """Context-manager factory activating the seq/tensor GSPMD hints
+        inside nadit_forward when this runner's mesh shards either axis
+        (parallel/sp.py). The hints are read at TRACE time, so the context
+        wraps the nadit_forward call inside the traced step body. Identity
+        on single-chip / pure frame-DP meshes."""
+        import contextlib
+
+        if self.mesh is None:
+            return contextlib.nullcontext
+        t = self.mesh.shape.get("tensor", 1) > 1
+        s = self.mesh.shape.get("seq", 1) > 1
+        if not (t or s):
+            return contextlib.nullcontext
+        from ..parallel.sp import sharded_dit
+
+        mesh = self.mesh
+        return lambda: sharded_dit(mesh, seq=s, tensor=t)
+
     def _dit_step(self, thw: Tuple[int, int, int], txt_len: int):
         """Compiled one-step upscale for a latent shape bucket: noise gen +
         condition assembly + DiT forward + Euler endpoint, one executable."""
@@ -305,6 +327,7 @@ class Runner:
         T = cfg.diffusion.schedule_T
         timesteps = dm.uniform_trailing_timesteps(cfg.diffusion.sampling_steps, T)
         compute_dtype = jnp.dtype(cfg.compute_dtype)
+        dit_ctx = self._dit_sharding_ctx()
 
         def step(dit_params, latent, txt_pos, rng, plan_args=None):
             # latent: [B, t, h, w, C] scaled; returns upscaled latent.
@@ -348,15 +371,17 @@ class Runner:
                 vid = jnp.concatenate([x_t, cond], axis=-1)
 
                 def pos():
-                    return nadit_forward(
-                        dit_params, cfg.dit, vid, txt_pos.astype(compute_dtype), t_arr,
-                        plans, plan_args,
-                    )
+                    with dit_ctx():
+                        return nadit_forward(
+                            dit_params, cfg.dit, vid, txt_pos.astype(compute_dtype), t_arr,
+                            plans, plan_args,
+                        )
 
                 def neg():
-                    return nadit_forward(
-                        dit_params, cfg.dit, vid, self.text_neg.astype(compute_dtype), t_arr, plans_neg
-                    )
+                    with dit_ctx():
+                        return nadit_forward(
+                            dit_params, cfg.dit, vid, self.text_neg.astype(compute_dtype), t_arr, plans_neg
+                        )
 
                 # CFG with lazy negative-branch skip at scale 1 (reference:
                 # diffusion/utils.py:66-84 — the deployed one-step model

@@ -126,6 +126,99 @@ def test_cli_directory_mixed_media(tiny_model_dir, tmp_path):
     assert img.shape[0] >= 26
 
 
+def test_cli_mesh_auto_video_runs_data_parallel(tiny_model_dir, tmp_path, monkeypatch):
+    """VERDICT r4 #1: on a multi-device host, `--mesh auto` (the default)
+    must actually run the frame-DP multichip path for a long-enough video —
+    no silent single-chip fallback."""
+    from seedvr2_tpu.pipeline import multichip
+
+    frames = (np.random.RandomState(5).rand(16, 20, 24, 3) > 0.5).astype(np.float32)
+    inp = str(tmp_path / "in16.mp4")
+    out = str(tmp_path / "out16.mp4")
+    w = vio.make_video_writer(inp, 24, 20, 10.0)
+    w.write(frames)
+    w.close()
+
+    seen = {}
+    orig = multichip.generate_multichip
+
+    def spy(runner, images, mesh, **kw):
+        seen["mesh"] = dict(mesh.shape)
+        seen["runner_mesh"] = getattr(runner, "mesh", None) is not None
+        seen["n_frames"] = len(images)
+        return orig(runner, images, mesh, **kw)
+
+    monkeypatch.setattr(multichip, "generate_multichip", spy)
+    rc = inference_cli.main(
+        [
+            inp,
+            "--output", out,
+            "--dit_model", "tiny_dit.safetensors",
+            "--vae_model", "tiny_vae.safetensors",
+            "--model_dir", str(tiny_model_dir),
+            "--resolution", "32",
+            "--color_correction", "none",
+            "--batch_size", "5",
+        ]
+    )
+    assert rc == 0
+    # tiny model fits one chip -> the policy gives all 8 devices to "data"
+    assert seen["mesh"]["data"] == 8
+    assert seen["runner_mesh"]  # the mesh reached the runner (loader wiring)
+    r = vio.VideoReader(out)
+    assert r.total_frames == 16
+    r.close()
+
+
+def _dit_tensor_sharded(runner) -> bool:
+    import jax as _jax
+
+    for leaf in _jax.tree.leaves(runner.dit_params):
+        s = getattr(leaf, "sharding", None)
+        if s is not None and "tensor" in str(getattr(s, "spec", "")):
+            return True
+    return False
+
+
+def test_cli_explicit_mesh_tensor_shards_dit(tiny_model_dir):
+    """--mesh d,s,t with tensor > 1 must reach load_runner as shard_dit:
+    the runner's DiT leaves carry 'tensor' NamedShardings."""
+    args = inference_cli.parse_arguments(
+        [
+            "unused.mp4",
+            "--dit_model", "tiny_dit.safetensors",
+            "--vae_model", "tiny_vae.safetensors",
+            "--model_dir", str(tiny_model_dir),
+            "--resolution", "32",
+            "--mesh", "4,1,2",
+        ]
+    )
+    mesh = inference_cli.build_mesh(args, 16)
+    assert mesh is not None and mesh.shape == {"data": 4, "seq": 1, "tensor": 2}
+    runner, _, _ = inference_cli.build_runner(args, mesh)
+    assert runner.mesh is mesh
+    assert _dit_tensor_sharded(runner)
+
+
+def test_cli_auto_mesh_image_tensor_shards(tiny_model_dir):
+    """`--mesh auto` for an image workload tensor-shards the DiT (capped by
+    head divisibility: tiny heads=2 -> tensor=2) instead of leaving every
+    chip but one idle."""
+    args = inference_cli.parse_arguments(
+        [
+            "unused.png",
+            "--dit_model", "tiny_dit.safetensors",
+            "--vae_model", "tiny_vae.safetensors",
+            "--model_dir", str(tiny_model_dir),
+            "--resolution", "32",
+        ]
+    )
+    mesh = inference_cli.build_mesh(args, 1)
+    assert mesh is not None and mesh.shape["tensor"] == 2
+    runner, _, _ = inference_cli.build_runner(args, mesh)
+    assert _dit_tensor_sharded(runner)
+
+
 @pytest.mark.parametrize("n_in", [12, 14])  # 14: last chunk is exactly the carry
 def test_cli_chunked_overlap_frame_count(tiny_model_dir, tmp_path, n_in):
     """Chunked streaming with temporal overlap must emit each input frame

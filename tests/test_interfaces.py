@@ -113,6 +113,17 @@ def test_cache_hit_with_changed_cfg_invalidates_compiled():
     assert dataclasses.replace(cfg, latent_noise_scale=0.5) != cfg
 
 
+def test_node_mesh_policy_video_vs_image():
+    """The node layer builds the workload-aware mesh (VERDICT r4 #1): long
+    videos go frame-DP, images tensor-shard the DiT (capped by heads)."""
+    from seedvr2_tpu.config import dit_tiny
+
+    mesh_v = I.SeedVR2VideoUpscaler._build_mesh(dit_tiny(), 100)
+    assert mesh_v is not None and mesh_v.shape["data"] == 8
+    mesh_i = I.SeedVR2VideoUpscaler._build_mesh(dit_tiny(), 1)
+    assert mesh_i is not None and mesh_i.shape["tensor"] == 2
+
+
 def test_interrupt_fn_aborts_generation():
     """ctx interrupt is checked per batch (reference:
     generation_utils.py:660-663, called at every phase loop)."""
