@@ -130,6 +130,150 @@ class VideoReader:
         self.cap.release()
 
 
+def have_ffprobe() -> bool:
+    import shutil
+
+    return shutil.which("ffprobe") is not None
+
+
+def _parse_ffprobe_stream(stream: dict) -> dict:
+    """Normalize one ffprobe video-stream dict: width/height/fps/frames and
+    the source bit depth parsed from pix_fmt (yuv420p10le -> 10)."""
+    import re
+
+    num, _, den = (stream.get("r_frame_rate") or "30/1").partition("/")
+    fps = float(num) / float(den or 1) if float(den or 1) else 30.0
+    nb = stream.get("nb_frames")
+    if nb in (None, "N/A"):
+        nb = stream.get("nb_read_packets")
+    pix = stream.get("pix_fmt") or "yuv420p"
+    m = re.search(r"(\d+)(le|be)$", pix)
+    bits = int(m.group(1)) if m else 8
+    return {
+        "width": int(stream["width"]),
+        "height": int(stream["height"]),
+        "fps": fps,
+        "total_frames": int(nb) if nb not in (None, "N/A") else 0,
+        "bits": bits,
+    }
+
+
+def _ffprobe(path: str) -> dict:
+    import json
+
+    out = subprocess.run(
+        [
+            "ffprobe", "-v", "error", "-select_streams", "v:0",
+            "-count_packets",
+            "-show_entries",
+            "stream=width,height,r_frame_rate,nb_frames,nb_read_packets,pix_fmt",
+            "-of", "json", path,
+        ],
+        capture_output=True, check=True,
+    )
+    streams = json.loads(out.stdout)["streams"]
+    if not streams:
+        raise ValueError(f"no video stream in {path}")
+    return _parse_ffprobe_stream(streams[0])
+
+
+class FFmpegReader:
+    """ffmpeg-subprocess video reader — the ``--video_backend ffmpeg``
+    choice (reference flag: inference_cli.py:1354; there it selects the
+    WRITER — the reference reads through cv2 only). Unlike cv2's 8-bit BGR
+    decode, >8-bit sources (yuv420p10le x265 etc.) decode losslessly to
+    uint16 rgb48le frames, feeding the pipeline's 16-bit device path
+    (ops/resize.py:to_f01 scales uint16 in-program) — so 10-bit input
+    survives end-to-end to the 10-bit x265 output.
+
+    Same interface as VideoReader. ``dtype=np.uint8`` means "raw packed
+    decoder output": uint8 for 8-bit sources, uint16 for deeper ones."""
+
+    def __init__(self, path: str, dtype=np.float32):
+        self.path = path
+        meta = _ffprobe(path)
+        self.width, self.height = meta["width"], meta["height"]
+        self.fps = meta["fps"] or 30.0
+        self.total_frames = meta["total_frames"]
+        self.bits = meta["bits"]
+        self._u16 = self.bits > 8
+        self._packed = np.dtype(dtype) == np.uint8
+        self.dtype = (
+            np.dtype(np.uint16 if self._u16 else np.uint8)
+            if self._packed
+            else np.dtype(dtype)
+        )
+        self._start = 0
+        self.proc: Optional[subprocess.Popen] = None
+
+    def _spawn(self):
+        pix = "rgb48le" if self._u16 else "rgb24"
+        cmd = ["ffmpeg", "-loglevel", "error", "-i", self.path]
+        if self._start:
+            # frame-exact seek: drop the first N decoded frames (cv2 parity
+            # with CAP_PROP_POS_FRAMES; -ss timestamp seeks can be off by
+            # a frame at fractional rates)
+            cmd += ["-vf", f"select=gte(n\\,{self._start})", "-fps_mode", "passthrough"]
+        cmd += ["-f", "rawvideo", "-pix_fmt", pix, "-"]
+        self.proc = subprocess.Popen(cmd, stdout=subprocess.PIPE)
+
+    def seek(self, frame_idx: int) -> None:
+        self._start = int(frame_idx)
+        if self.proc is not None:
+            self.proc.kill()
+            self.proc = None
+
+    def read(self, n: Optional[int] = None) -> np.ndarray:
+        if self.proc is None:
+            self._spawn()
+        raw = np.uint16 if self._u16 else np.uint8
+        frame_bytes = self.width * self.height * 3 * np.dtype(raw).itemsize
+        frames = []
+        while n is None or len(frames) < n:
+            buf = self.proc.stdout.read(frame_bytes)
+            if buf is None or len(buf) < frame_bytes:
+                break
+            frames.append(
+                np.frombuffer(buf, raw).reshape(self.height, self.width, 3)
+            )
+        if not frames:
+            return np.zeros((0, self.height, self.width, 3), self.dtype)
+        out = np.stack(frames)
+        if self._packed:
+            return out
+        scale = 65535.0 if self._u16 else 255.0
+        return out.astype(np.float32) / scale
+
+    chunks = VideoReader.chunks  # same streaming-overlap generator
+
+    def close(self):
+        if self.proc is not None:
+            self.proc.kill()
+            self.proc = None
+
+
+def make_video_reader(path: str, dtype=np.float32, backend: str = "auto"):
+    """Reader factory honoring --video_backend (reference:
+    inference_cli.py:1354): 'opencv' -> cv2; 'ffmpeg' -> FFmpegReader
+    (errors if ffmpeg is absent, like the reference's check :1536); 'auto'
+    -> ffmpeg only when it unlocks a >8-bit source, else cv2."""
+    if backend in ("opencv", "cv2"):
+        return VideoReader(path, dtype)
+    if backend == "ffmpeg":
+        if not (have_ffmpeg() and have_ffprobe()):
+            raise RuntimeError(
+                "--video_backend ffmpeg requires ffmpeg+ffprobe in PATH"
+            )
+        return FFmpegReader(path, dtype)
+    if have_ffmpeg() and have_ffprobe():
+        try:
+            if _ffprobe(path)["bits"] > 8:
+                return FFmpegReader(path, dtype)
+        except Exception:
+            pass
+    return VideoReader(path, dtype)
+
+
 class FFmpegWriter:
     """10-bit x265 encode via ffmpeg subprocess (reference:
     FFMPEGVideoWriter, inference_cli.py:142-209)."""
@@ -206,8 +350,16 @@ def have_ffmpeg() -> bool:
     return shutil.which("ffmpeg") is not None
 
 
-def make_video_writer(path: str, width: int, height: int, fps: float, **kw):
-    """10-bit x265 via ffmpeg when present, else 8-bit cv2 mp4."""
+def make_video_writer(path: str, width: int, height: int, fps: float,
+                      backend: str = "auto", **kw):
+    """Writer factory: 10-bit x265 via ffmpeg when present, else 8-bit cv2
+    mp4. ``backend`` honors --video_backend like the reference
+    (inference_cli.py:741-783): 'opencv' forces cv2, 'ffmpeg' requires
+    ffmpeg."""
+    if backend in ("opencv", "cv2"):
+        return CV2Writer(path, width, height, fps)
+    if backend == "ffmpeg" and not have_ffmpeg():
+        raise RuntimeError("--video_backend ffmpeg requires ffmpeg in PATH")
     if have_ffmpeg():
         return FFmpegWriter(path, width, height, fps, **kw)
     return CV2Writer(path, width, height, fps)

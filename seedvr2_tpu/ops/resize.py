@@ -102,13 +102,19 @@ def resize_video(video: jnp.ndarray, size: Tuple[int, int], method: str = "torch
 
 
 def to_f01(v: jnp.ndarray) -> jnp.ndarray:
-    """Promote device frames to float32 [0,1]. uint8 inputs are scaled by
-    1/255 IN-PROGRAM — the video path uploads raw decoder bytes (1 B/px
-    instead of 2-4), and `u8.astype(f32)/255` on device equals the host
-    conversion the fp32 path performs (io/frameops.py), so numerics follow
-    the same [0,1] contract either way."""
+    """Promote device frames to float32 [0,1]. uint8/uint16 inputs are
+    scaled by 1/255 resp. 1/65535 IN-PROGRAM — the video path uploads raw
+    decoder bytes (1-2 B/px instead of 4), and `u.astype(f32)/max` on
+    device equals the host conversion the fp32 path performs
+    (io/frameops.py), so numerics follow the same [0,1] contract either
+    way. uint16 is the ffmpeg reader's lossless >8-bit decode
+    (io/video.py:FFmpegReader)."""
     f = v.astype(jnp.float32)
-    return f / 255.0 if v.dtype == jnp.uint8 else f
+    if v.dtype == jnp.uint8:
+        return f / 255.0
+    if v.dtype == jnp.uint16:
+        return f / 65535.0
+    return f
 
 
 def divisible_pad(video: jnp.ndarray, factor: int = 16) -> jnp.ndarray:
