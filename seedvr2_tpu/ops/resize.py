@@ -76,13 +76,21 @@ def side_resize_dims(
     h: int, w: int, resolution: int, max_resolution: int = 0, downsample_only: bool = False
 ) -> Tuple[int, int]:
     """Target dims: scale shortest side to `resolution`, cap longest at
-    `max_resolution` (reference: na_resize.py:23-54)."""
-    scale = resolution / min(h, w)
-    if downsample_only:
-        scale = min(scale, 1.0)
-    if max_resolution > 0 and max(h, w) * scale > max_resolution:
-        scale = max_resolution / max(h, w)
-    return round(h * scale), round(w * scale)
+    `max_resolution` (reference: na_resize.py:23-54, side_resize.py:47-74).
+
+    Matches torchvision's int-size resize exactly: the long side FLOORS
+    (``int(size * long / short)``, torchvision _compute_resized_output_size)
+    — round() was off by one at e.g. (20, 24) -> res 33. The max_resolution
+    cap then re-scales the *resized* dims with round(), which is the
+    reference's own code (side_resize.py:72)."""
+    size = min(h, w) if (downsample_only and min(h, w) < resolution) else resolution
+    short, long_ = (h, w) if h <= w else (w, h)
+    new_short, new_long = size, int(size * long_ / short)
+    th, tw = (new_short, new_long) if h <= w else (new_long, new_short)
+    if max_resolution > 0 and max(th, tw) > max_resolution:
+        scale = max_resolution / max(th, tw)
+        th, tw = round(th * scale), round(tw * scale)
+    return th, tw
 
 
 def resize_video(video: jnp.ndarray, size: Tuple[int, int], method: str = "torch_bicubic") -> jnp.ndarray:

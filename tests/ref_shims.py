@@ -205,12 +205,182 @@ def install_shims() -> None:
             def __call__(self, pic):
                 raise NotImplementedError
 
+        class Compose:
+            """torchvision.transforms.Compose (apply in order)."""
+
+            def __init__(self, transforms):
+                self.transforms = list(transforms)
+
+            def __call__(self, x):
+                for t in self.transforms:
+                    x = t(x)
+                return x
+
+        class Lambda:
+            def __init__(self, fn):
+                self.fn = fn
+
+            def __call__(self, x):
+                return self.fn(x)
+
+        class Normalize:
+            """torchvision Normalize over the channel dim at -3 (the
+            reference calls Normalize(0.5, 0.5) on [T, C, H, W] videos,
+            generation_utils.py:80)."""
+
+            def __init__(self, mean, std, inplace=False):
+                self.mean, self.std = mean, std
+
+            def __call__(self, x):
+                mean = torch.as_tensor(self.mean, dtype=x.dtype).reshape(-1, 1, 1)
+                std = torch.as_tensor(self.std, dtype=x.dtype).reshape(-1, 1, 1)
+                return (x - mean) / std
+
+        class InterpolationMode:
+            BICUBIC = "bicubic"
+            BILINEAR = "bilinear"
+            NEAREST = "nearest"
+
+        def _tvf_resize(image, size, interpolation=InterpolationMode.BICUBIC,
+                        antialias=True):
+            """torchvision.transforms.functional.resize for tensors: int
+            size -> shortest edge = size, long edge FLOORS
+            (_compute_resized_output_size); tuple -> exact. Lowers to
+            F.interpolate like real torchvision."""
+            h, w = image.shape[-2:]
+            if isinstance(size, int):
+                short, long_ = (h, w) if h <= w else (w, h)
+                ns, nl = size, int(size * long_ / short)
+                out_hw = (ns, nl) if h <= w else (nl, ns)
+            else:
+                out_hw = tuple(size)
+            x = image
+            squeeze = x.ndim == 3
+            if squeeze:
+                x = x.unsqueeze(0)
+            y = F.interpolate(
+                x.float(), size=out_hw, mode=str(interpolation),
+                align_corners=False, antialias=bool(antialias),
+            ).to(image.dtype)
+            return y.squeeze(0) if squeeze else y
+
+        def _tvf_center_crop(img, output_size):
+            th, tw = output_size
+            h, w = img.shape[-2:]
+            i, j = (h - th) // 2, (w - tw) // 2
+            return img[..., i : i + th, j : j + tw]
+
+        tvf = _module("torchvision.transforms.functional")
+        tvf.resize = _tvf_resize
+        tvf.center_crop = _tvf_center_crop
+        tvf.InterpolationMode = InterpolationMode
+
+        class Resize:
+            def __init__(self, size, interpolation=InterpolationMode.BICUBIC, **kw):
+                self.size, self.interpolation = size, interpolation
+
+            def __call__(self, img):
+                return _tvf_resize(img, self.size, self.interpolation)
+
+        class CenterCrop:
+            def __init__(self, size):
+                self.size = (size, size) if isinstance(size, int) else size
+
+            def __call__(self, img):
+                return _tvf_center_crop(img, self.size)
+
         tvt.ToTensor = ToTensor
         tvt.ToPILImage = ToPILImage
+        tvt.Compose = Compose
+        tvt.Lambda = Lambda
+        tvt.Normalize = Normalize
+        tvt.InterpolationMode = InterpolationMode
+        tvt.Resize = Resize
+        tvt.CenterCrop = CenterCrop
+        tvt.functional = tvf
         tv.transforms = tvt
+
+    try:
+        import omegaconf  # noqa: F401
+    except ImportError:
+        _install_omegaconf_shim()
 
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
+
+
+def _install_omegaconf_shim() -> None:
+    """Attribute-dict subset of omegaconf — the reference's core modules
+    import DictConfig/ListConfig/OmegaConf at module level and the parity
+    tests hand-construct runner configs, so only attribute access, .get(),
+    and no-op merge/readonly plumbing are needed."""
+    om = _module("omegaconf")
+
+    class ListConfig(list):
+        pass
+
+    class DictConfig(dict):
+        def __getattr__(self, k):
+            try:
+                return self[k]
+            except KeyError:
+                raise AttributeError(k)
+
+        def __setattr__(self, k, v):
+            self[k] = v
+
+    def _wrap(v):
+        if isinstance(v, dict):
+            return DictConfig({k: _wrap(x) for k, x in v.items()})
+        if isinstance(v, (list, tuple)):
+            return ListConfig([_wrap(x) for x in v])
+        return v
+
+    class OmegaConf:
+        @staticmethod
+        def create(obj=None):
+            return _wrap(obj or {})
+
+        @staticmethod
+        def set_readonly(cfg, flag):
+            pass
+
+        @staticmethod
+        def register_new_resolver(*a, **k):
+            pass
+
+        @staticmethod
+        def merge(a, b):
+            out = dict(a)
+            for k, v in dict(b).items():
+                if k in out and isinstance(out[k], dict) and isinstance(v, dict):
+                    out[k] = OmegaConf.merge(out[k], v)
+                else:
+                    out[k] = v
+            return _wrap(out)
+
+        @staticmethod
+        def to_object(cfg):
+            if isinstance(cfg, dict):
+                return {k: OmegaConf.to_object(v) for k, v in cfg.items()}
+            if isinstance(cfg, list):
+                return [OmegaConf.to_object(v) for v in cfg]
+            return cfg
+
+    om.DictConfig = DictConfig
+    om.ListConfig = ListConfig
+    om.OmegaConf = OmegaConf
+
+
+def make_config(obj):
+    """Build a reference-style attr-dict config from a plain dict (the
+    omegaconf-shim DictConfig, or real omegaconf when installed)."""
+    try:
+        from omegaconf import OmegaConf
+
+        return OmegaConf.create(obj)
+    except ImportError:  # pragma: no cover
+        raise
 
 
 def _install_diffusers_shim() -> None:
