@@ -799,6 +799,18 @@ class Runner:
             self.dit_params, latent, self.text_pos, rng, self._plan_args(thw, txt_len)
         )
 
+    def weight_bytes(self) -> int:
+        """Resident bytes of DiT+VAE weights — feeds the run budget's free
+        pool (pipeline/phases.py:_run_budget): a 7B whose int8 weights hold
+        ~7.3GB of a 16GB chip changes the offload/stash answer."""
+        total = 0
+        for leaf in jax.tree.leaves((self.dit_params, self.vae_params)):
+            nbytes = getattr(leaf, "nbytes", None)
+            if nbytes is None and hasattr(leaf, "size"):
+                nbytes = leaf.size * np.dtype(leaf.dtype).itemsize
+            total += int(nbytes or 0)
+        return total
+
     def discard_weights(self) -> None:
         """Free all HBM held by this runner WITHOUT a host copy — for cache
         eviction, where the runner is being thrown away (release_dit would

@@ -357,6 +357,75 @@ def test_budget_declines_stash_when_offloading():
     assert phases._stash_color_ref(cfg, ctx2) is True
 
 
+class TestRunBudget:
+    """Pin the derived budget (VERDICT r4 weak #6: the 20%/10% constants
+    were guesses, _hbm_bytes fell back to 16GB silently) at three shape
+    points on a mocked 16GB chip, with the model weights in the equation."""
+
+    class FakeRunner:
+        def __init__(self, gib):
+            self._b = int(gib * 2**30)
+
+        def weight_bytes(self):
+            return self._b
+
+    def _ctx(self, phases, cfg, dims, total):
+        ctx = phases.make_context(cfg)
+        ctx["true_dims"] = dims
+        ctx["total_frames"] = total
+        ctx["batches"] = [None] * max(total // cfg.batch_size, 1)
+        return ctx
+
+    @pytest.fixture()
+    def mocked_hbm(self, monkeypatch):
+        from seedvr2_tpu.pipeline import phases
+
+        monkeypatch.setattr(phases, "_hbm_bytes", lambda: 16 << 30)
+        return phases
+
+    def test_720p_short_3b_stays_resident(self, mocked_hbm):
+        from seedvr2_tpu.config import PipelineConfig
+
+        phases = mocked_hbm
+        cfg = PipelineConfig(resolution=1080, batch_size=5, color_correction="lab")
+        ctx = self._ctx(phases, cfg, (1080, 1920), 10)
+        r = self.FakeRunner(6.6)  # 3B bf16
+        assert phases._offload(cfg, ctx, r) is False
+        assert phases._stash_color_ref(cfg, ctx, r) is True
+
+    def test_4k_long_7b_offloads_and_declines_stash(self, mocked_hbm):
+        from seedvr2_tpu.config import PipelineConfig
+
+        phases = mocked_hbm
+        cfg = PipelineConfig(
+            resolution=2160, batch_size=5, color_correction="lab",
+            decode_tiled=True, decode_tile_size=(1024, 1024),
+        )
+        ctx = self._ctx(phases, cfg, (2160, 3840), 1001)
+        r = self.FakeRunner(7.3)  # 7B int8
+        assert phases._offload(cfg, ctx, r) is True
+        assert phases._stash_color_ref(cfg, ctx, r) is False
+        # weights are in the equation: same shape with a tiny model and a
+        # short clip fits fine
+        ctx2 = self._ctx(phases, cfg, (2160, 3840), 5)
+        assert phases._offload(cfg, ctx2, self.FakeRunner(0.01)) is False
+
+    def test_4k_untiled_peak_forces_offload_even_short(self, mocked_hbm):
+        """The widest decoder feature map (C0 at full 4K output) alone
+        overwhelms a 16GB chip when untiled — the budget must see it even
+        with near-zero latents, where the old 20%-of-HBM latent rule said
+        'resident'."""
+        from seedvr2_tpu.config import PipelineConfig
+
+        phases = mocked_hbm
+        cfg = PipelineConfig(resolution=2160, batch_size=5, color_correction="lab")
+        ctx = self._ctx(phases, cfg, (2160, 3840), 5)  # one batch, 4K
+        r = self.FakeRunner(7.3)
+        budget = phases._run_budget(cfg, ctx, r)
+        assert budget["peak_gib"] > 8  # C0=128 bf16 map at 4K ~ 2x(T'*H*W*256B)
+        assert budget["offload"] is True and budget["stash"] is False
+
+
 def test_output_bits_8_matches_16_within_quantization():
     """u8 output packing (ROADMAP #8): same pipeline, output_bits=8 must
     match the u16 path within one 8-bit quantization step."""
