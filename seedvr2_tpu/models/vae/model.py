@@ -200,9 +200,25 @@ def _remove_head(x):
     return jnp.concatenate([x[:, :1], x[:, 2:]], axis=1)
 
 
+# Folded upsample (expansion + depth-to-space + conv as one low-res conv,
+# folded_upsample.py): 3.5x fewer FLOPs on the decode-dominating upsample
+# convs, numerically equal to the naive path up to fp32 fold reassociation
+# (tests/test_folded_upsample.py). Toggle for A/B and fallback.
+_FOLDED_UPSAMPLE = True
+
+
+def set_folded_upsample(on: bool) -> None:
+    global _FOLDED_UPSAMPLE
+    _FOLDED_UPSAMPLE = bool(on)
+
+
 def _upsample(p, cfg: VAEConfig, x, ctx: StreamCtx, name: str, temporal_up: bool):
     """MAGViT-v2 depth-to-space upsample (reference: attn_video_vae.py:110-174).
     Channel unpack order matches "b (x y z c) f h w -> b c (f z) (h x) (w y)"."""
+    if _FOLDED_UPSAMPLE:
+        from .folded_upsample import upsample_folded
+
+        return upsample_folded(p, cfg, x, ctx, name, temporal_up)
     B, T, H, W, C = x.shape
     with ctx.scope(name):
         tz = 2 if temporal_up else 1
