@@ -506,6 +506,9 @@ def _window_attention_fused(
     rope_txt = lp.txt_angles is not None and Lt > 0
     tang = txt_ang if rope_txt else jnp.zeros((Lt, hd), jnp.float32)
 
+    from ...ops.attention import get_attention_backend
+
+    quant_qk = get_attention_backend() == "fused_int8"
     hints = current_hints()
     if hints is not None:
         ovid, otxt = fused_window_attention_sharded(
@@ -520,6 +523,7 @@ def _window_attention_fused(
         ovid, otxt = fused_window_attention(
             vid_win, txt_qkv, vang, tang, valid, rope_txt,
             norms=norms, qk_norm=cfg.qk_norm, eps=cfg.norm_eps,
+            quant_qk=quant_qk,
         )
     # scatter windows back (token order) in head-major layout
     vid_tok = jnp.take(ovid.reshape(B, H, nW * mL, hd), inv, axis=2)  # [B,H,L,hd]
@@ -565,7 +569,7 @@ def block_forward(
     # Fused kernel in all modes (reference runs flash-attn in all modes,
     # compatibility.py:286-384); under seq/tensor sharding it runs inside
     # shard_map (ops/fused_window_attention.py:fused_window_attention_sharded).
-    if get_attention_backend() == "fused":
+    if get_attention_backend() in ("fused", "fused_int8"):
         vid_a, txt_a = _window_attention_fused(p["attn"], cfg, vid_a, txt_a, lp, pa)
     else:
         vid_a, txt_a = _window_attention(p["attn"], cfg, vid_a, txt_a, lp, True, pa)

@@ -18,8 +18,10 @@ import jax.numpy as jnp
 
 # "fused": DiT window attention runs the fully-fused Pallas kernel
 # (rope+txt+softmax in VMEM; 30% faster DiT step measured on v5e).
-# Generic attention() calls map fused -> xla; only the DiT consumes it.
-_BACKEND = "fused"  # "xla" | "pallas" | "fused"
+# "fused_int8" additionally quantizes q/k to per-token int8 inside the
+# kernel (the reference's SageAttention tier). Generic attention() calls
+# map fused* -> xla; only the DiT consumes them.
+_BACKEND = "fused"  # "xla" | "pallas" | "fused" | "fused_int8"
 
 
 def set_attention_backend(name: str) -> None:
@@ -31,8 +33,12 @@ def set_attention_backend(name: str) -> None:
         "xla": "xla",
         "flash_attn_2": "pallas",
         "flash_attn_3": "pallas",
-        "sageattn_2": "pallas",
-        "sageattn_3": "pallas",
+        # SageAttention tier: the fused window kernel with per-token int8
+        # q/k (fused_window_attention quant_qk=True) — the reference's
+        # quantized-attention speed knob (compatibility.py:387-545)
+        "sageattn_2": "fused_int8",
+        "sageattn_3": "fused_int8",
+        "fused_int8": "fused_int8",
         "pallas": "pallas",
         # fully-fused rope+txt+softmax window kernel
         # (ops/fused_window_attention.py, consumed directly by the DiT)

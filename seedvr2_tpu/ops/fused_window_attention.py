@@ -67,6 +67,7 @@ def _kernel(
     rope_txt: bool,
     qk_norm: bool,
     eps: float,
+    quant_qk: bool = False,
 ):
     S, D = vq_ref.shape[3], vq_ref.shape[4]
     Lt = tq_ref.shape[2]
@@ -96,7 +97,20 @@ def _kernel(
     tv = tv_ref[0, 0]
     valid = mask_ref[0, 0][None, :]  # [1, S] vid-slot validity
 
+    def _quant(x):  # per-token symmetric int8 (SageAttention's q/k scheme)
+        xf = x.astype(jnp.float32)
+        s = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) * (1.0 / 127.0) + 1e-8
+        return jnp.round(xf / s).astype(jnp.int8), s
+
     def qk(a, b):  # [Ma, D] x [Mb, D] -> [Ma, Mb] fp32
+        if quant_qk:
+            a8, sa = _quant(a)
+            b8, sb = _quant(b)
+            s32 = jax.lax.dot_general(
+                a8, b8, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            return s32.astype(jnp.float32) * (sa * scale) * sb[:, 0][None, :]
         return jax.lax.dot_general(
             a, b, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -126,7 +140,7 @@ def _kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("rope_txt", "qk_norm", "eps", "interpret")
+    jax.jit, static_argnames=("rope_txt", "qk_norm", "eps", "interpret", "quant_qk")
 )
 def fused_window_attention(
     vid_qkv: jnp.ndarray,  # [B, 3, H, nW, S, D] (windowed, head-major)
@@ -139,8 +153,13 @@ def fused_window_attention(
     qk_norm: bool = False,
     eps: float = 1e-5,
     interpret: Optional[bool] = None,
+    quant_qk: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns (vid_out [B, H, nW, S, D], txt_out [B, H, nW, Lt, D])."""
+    """Returns (vid_out [B, H, nW, S, D], txt_out [B, H, nW, Lt, D]).
+
+    ``quant_qk``: per-token int8 q/k with fp32 scale outer product on the
+    logits — the reference's SageAttention tier (compatibility.py:387-545);
+    rope/norm/softmax/PV stay fp32/bf16."""
     B, _, H, nW, S, D = vid_qkv.shape
     Lt = txt_qkv.shape[3]
     if interpret is None:
@@ -169,7 +188,8 @@ def fused_window_attention(
 
     ovid, otxt = pl.pallas_call(
         functools.partial(
-            _kernel, scale=scale, rope_txt=rope_txt, qk_norm=qk_norm, eps=eps
+            _kernel, scale=scale, rope_txt=rope_txt, qk_norm=qk_norm, eps=eps,
+            quant_qk=quant_qk,
         ),
         grid=(B, nW, H),
         in_specs=[vspec, vspec, vspec, tspec, tspec, tspec, aspec, aspec, taspec, taspec, mspec, nspec],

@@ -49,3 +49,27 @@ def test_fused_with_int8_weights():
         set_attention_backend("xla")
     rel = np.abs(a - b).max() / (np.abs(a).max() + 1e-6)
     assert rel < 0.15
+
+
+def test_fused_int8_attention_close_to_bf16():
+    """sageattn tier (fused_int8): per-token int8 q/k inside the kernel —
+    logits carry ~0.8% quantization error, outputs must stay close to the
+    bf16 fused path (reference maps sageattn_* the same way,
+    compatibility.py:387-545)."""
+    cfg = dit_tiny()
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    thw, txt_len = (2, 6, 8), 4
+    plans = build_attn_plans(cfg, thw, txt_len)
+    vid = jax.random.normal(jax.random.PRNGKey(5), (1, 2, 12, 16, cfg.vid_in_channels)) * 0.4
+    txt = jax.random.normal(jax.random.PRNGKey(6), (1, txt_len, cfg.txt_in_dim)) * 0.4
+    t = jnp.array([700.0])
+    try:
+        set_attention_backend("fused")
+        ref = np.asarray(nadit_forward(params, cfg, vid, txt, t, plans))
+        set_attention_backend("sageattn_2")  # alias -> fused_int8
+        out = np.asarray(nadit_forward(params, cfg, vid, txt, t, plans))
+    finally:
+        set_attention_backend("xla")
+    assert not np.array_equal(out, ref)  # the int8 path actually ran
+    rel = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-6)
+    assert rel < 0.05
