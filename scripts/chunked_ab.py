@@ -71,7 +71,7 @@ def run_case(label: str) -> int:
 
     over = CASES[label]
     print(f"[{label}] sentinel: {sentinel():.3f}s", flush=True)
-    cfg = PipelineConfig(
+    base = dict(
         dit=dit_3b(),
         vae=vae_config(),
         resolution=1080,
@@ -85,8 +85,9 @@ def run_case(label: str) -> int:
         decode_tiled=True,
         decode_tile_size=(1088, 1024),
         decode_tile_overlap=(0, 128),
-        **over,
     )
+    base.update(over)
+    cfg = PipelineConfig(**base)
     rng = np.random.RandomState(0)
     frames = rng.randint(0, 256, size=(5, 720, 1280, 3)).astype(np.uint8)
     text = (rng.randn(77, cfg.dit.txt_in_dim) * 0.02).astype(np.float32)
