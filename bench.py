@@ -351,14 +351,16 @@ def main() -> int:
         # the reference); that tier is the `--output_bits 16` flag.
         output_bits=8,
         # VAE tiling: the 16GB HBM of one v5e chip is the reference's
-        # "12-16GB -> use tiling" tier (README.md:342). Decode runs
-        # FULL-HEIGHT column tiles (1088x1024, the best measured config —
-        # docs/PERFORMANCE.md round-3): they fit alongside the DiT because
-        # the DiT is int8-at-rest (below). Encode keeps 1024/128 (encode is
-        # dispatch-bound, tile shape is flat there).
+        # "12-16GB -> use tiling" tier (README.md:342). Both phases run
+        # FULL-HEIGHT column tiles (the best measured configs): decode
+        # 1088x1024/(0,128) since round 3; encode 1088x1024/(0,128) since
+        # round 5 (5.229 vs 5.393 s e2e over the 1024/128 grid — 2 tiles
+        # instead of 4, ~6.7% column redundancy instead of ~19% total;
+        # scripts/chunked_ab.py enc_fh). They fit alongside the DiT
+        # because the DiT is int8-at-rest (below).
         encode_tiled=True,
-        encode_tile_size=(1024, 1024),
-        encode_tile_overlap=(128, 128),
+        encode_tile_size=(1088, 1024),
+        encode_tile_overlap=(0, 128),
         decode_tiled=True,
         decode_tile_size=(1088, 1024),
         decode_tile_overlap=(0, 128),
