@@ -260,6 +260,46 @@ def test_chunked_plan_rejected_for_global_color():
     assert runner.supports_chunked((5, 24, 96, 3), 64, 256) is None
 
 
+def test_chunked_with_column_tiled_encode_matches_all_paths():
+    """The bench workload's geometry at tiny scale: single-row COLUMN-tiled
+    encode (full-height tiles, zero row overlap — adopted round 5,
+    docs/PERFORMANCE.md) feeding the streamed column-chunk decode. The
+    chunked path, the monolithic fused path, and the 4-phase path must all
+    agree; guards the encode-grid/blend math under the fused head."""
+    import dataclasses
+
+    runner, cfg = _chunked_runner("wavelet")
+    cfg = dataclasses.replace(
+        cfg,
+        encode_tiled=True,
+        encode_tile_size=(64, 128),   # H=64 -> single tile row
+        encode_tile_overlap=(0, 32),  # column grid with blended seams
+    )
+    runner.cfg = cfg
+    frames = _frames(t=5, h=24, w=96, seed=29)
+
+    # encode grid really is single-row multi-column at this shape
+    from seedvr2_tpu.models.vae import tiling as T
+    lt_w, cols = T._axis_grid(256 // 8, 128 // 8, 32 // 8)
+    assert len(cols) >= 2
+    assert runner.supports_chunked((5, 24, 96, 3), 64, 256) is not None
+
+    chunked = phases.generate(runner, frames, cfg)
+
+    cfg_off = dataclasses.replace(cfg, chunked_output="off")
+    runner.cfg = cfg_off
+    runner.invalidate_compiled()
+    fused = phases.generate(runner, frames, cfg_off)
+    np.testing.assert_allclose(chunked, fused, atol=2.0 / 65535 + 1e-4)
+
+    cfg_phases = dataclasses.replace(cfg_off, fused_pipeline="off")
+    runner.cfg = cfg_phases
+    runner.invalidate_compiled()
+    phased = phases.generate(runner, frames, cfg_phases)
+    assert phased.shape == chunked.shape
+    np.testing.assert_allclose(chunked, phased, atol=2.0 / 65535 + 1e-4)
+
+
 def test_chunked_oom_retries_monolithic(monkeypatch):
     """A RESOURCE_EXHAUSTED raised while the streamed column-chunk path is
     active must first retry the fused pipeline monolithic (generate() sets
