@@ -30,7 +30,9 @@ import time
 FRAMES = 5
 IN_H, IN_W = 720, 1280
 RESOLUTION = 1080  # shortest-edge target
-REPEATS = 4  # min-of-N; the dev tunnel adds +/-30% run-to-run noise
+REPEATS = 6  # min-of-N; the dev tunnel adds +/-30% run-to-run noise, and
+# cross-process spreads (5.23-5.44s for identical programs, round 5) show
+# N=4 under-samples the calm tail; +2 reps cost ~11s of a 2100s budget
 
 # Wall-clock budget for the OPTIONAL extras (7B step, 4K stages): their
 # compiles through the remote helper can take tens of minutes in a degraded
