@@ -366,6 +366,13 @@ def main() -> int:
         decode_tiled=True,
         decode_tile_size=(1088, 1024),
         decode_tile_overlap=(0, 128),
+        # Native-planar link (round 5): the CLI's default mp4->mp4 path
+        # feeds the decoder's yuv420p planes to the device and fetches the
+        # sink's yuv420p planes back (--pixfmt auto, ops/yuv.py) — the
+        # colorspace conversions run ON DEVICE and the host link carries
+        # 1.5 B/px each way instead of 3 (the reference converts on host
+        # both ways, its inference_cli.py:469-575,640-713).
+        output_pixfmt="yuv420",
     )
     dtype = jnp.bfloat16
     # int8-at-rest 3B (3.2GB vs 6.2GB bf16) in the loader's stacked scan
@@ -385,19 +392,28 @@ def main() -> int:
     text = (rng.randn(77, cfg.dit.txt_in_dim) * 0.02).astype(np.float32)
     runner = Runner(cfg, dit_params, vae_params, text, debug=Debug(False))
 
-    # uint8 input: what a video decoder hands the pipeline (the reference
-    # ingests cv2's uint8 frames, inference_cli.py). 1 B/px crosses the
-    # link; scaling to [0,1] happens in-program (_upload_frames/to_f01).
-    frames = rng.randint(0, 256, size=(FRAMES, IN_H, IN_W, 3)).astype(np.uint8)
+    # Native planar input: exactly what the ffmpeg demuxer hands the CLI
+    # for an 8-bit mp4 (FFmpegReader planar mode) — yuv420p codes, 1.5 B/px
+    # on the uplink; the device does the colorspace conversion + [0,1]
+    # scaling in-program (ops/yuv.py, ops/resize.py:to_f01). The reference
+    # ingests cv2's host-converted uint8 RGB instead.
+    from seedvr2_tpu.ops.yuv import PlanarYUV420, is_planar
+
+    frames = PlanarYUV420(
+        rng.randint(16, 236, size=(FRAMES, IN_H, IN_W)).astype(np.uint8),
+        rng.randint(16, 241, size=(FRAMES, IN_H // 2, IN_W // 2)).astype(np.uint8),
+        rng.randint(16, 241, size=(FRAMES, IN_H // 2, IN_W // 2)).astype(np.uint8),
+    )
 
     sentinel_s, window = run_sentinel(jax, jnp, np)
 
     # Warmup (compiles every phase executable). packed=True is what the CLI
-    # runs for its integer sinks (PNG/x265) — packed pixels stream to the
-    # writer with no host fp32 unpack (~1.8s/5-frame single-core saved,
-    # scripts/e2e_profile.py).
+    # runs for its integer sinks (mp4/PNG/x265) — packed pixels stream to
+    # the writer with no host fp32 unpack (~1.8s/5-frame single-core saved,
+    # scripts/e2e_profile.py); with output_pixfmt=yuv420 they are the mp4
+    # sink's own planes.
     out = phases.generate(runner, frames, packed=True)
-    assert out.shape[0] == FRAMES and out.dtype == np.uint8
+    assert out.shape[0] == FRAMES and is_planar(out) and out.y.dtype == np.uint8
 
     times = []
     for _ in range(REPEATS):

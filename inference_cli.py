@@ -115,7 +115,19 @@ def parse_arguments(argv: Optional[List[str]] = None) -> argparse.Namespace:
         help="video decode/encode backend (reference flag, "
              "inference_cli.py:1354). 'ffmpeg' also reads >8-bit sources "
              "losslessly (uint16 frames feed the 16-bit device path); "
-             "'auto' picks ffmpeg exactly when the source is >8-bit",
+             "'auto' picks ffmpeg exactly when the source is >8-bit "
+             "or the native-planar path is live (see --pixfmt)",
+    )
+    p.add_argument(
+        "--pixfmt", type=str, default="auto",
+        choices=["auto", "rgb", "yuv420"],
+        help="pixel format on the host<->device link (TPU extension). "
+             "'yuv420' feeds the decoder's native yuv420p planes to the "
+             "device and fetches the mp4 sink's native planes back "
+             "(1.5 B/px instead of 3 each way; colorspace conversion runs "
+             "on-device, ops/yuv.py). 'auto' = yuv420 exactly when both "
+             "ends are yuv420 video through ffmpeg; 'rgb' forces the "
+             "classic path",
     )
     for flag in [
         "--blocks_to_swap", "--swap_io_components", "--cuda_device",
@@ -152,6 +164,28 @@ def _resolve_output_bits(args) -> int:
         print("⚠️ --10bit requested but ffmpeg is unavailable; falling back to 8-bit cv2 mp4")
         return 16  # honor the flag: lossless transfer even to the 8-bit sink
     return 8
+
+
+def _resolve_pixfmt(args) -> str:
+    """'auto' -> 'yuv420' exactly when the sink is yuv420 video written by
+    ffmpeg (the fused paths then pack the sink's native planes on device);
+    anything else stays 'rgb'. The reader side is gated separately in
+    _process_video (the source must be yuv420 too)."""
+    if args.pixfmt == "rgb":
+        return "rgb"
+    from seedvr2_tpu.io import video as vio
+
+    ffmpeg_sink = (
+        args.output_format == "video"
+        and args.video_backend != "opencv"
+        and vio.have_ffmpeg()
+    )
+    if args.pixfmt == "yuv420":
+        if not ffmpeg_sink:
+            print("⚠️ --pixfmt yuv420 needs an ffmpeg video sink; using rgb")
+            return "rgb"
+        return "yuv420"
+    return "yuv420" if ffmpeg_sink else "rgb"
 
 
 def build_runner(args, mesh=None):
@@ -217,6 +251,7 @@ def build_runner(args, mesh=None):
         decode_tile_size=_pair(args.vae_decode_tile_size),
         decode_tile_overlap=_pair(args.vae_decode_tile_overlap),
         output_bits=_resolve_output_bits(args),
+        output_pixfmt=_resolve_pixfmt(args),
     )
     shard_dit = mesh is not None and mesh.shape.get("tensor", 1) > 1
     runner = load_runner(
@@ -238,6 +273,14 @@ def build_runner(args, mesh=None):
             category="setup", force=True,
         )
     return runner, runner.cfg, debug
+
+
+def _to_rgb_if_planar(out):
+    """Image sinks need RGB: convert a planar-yuv result back on host
+    (only reachable when a video-oriented cfg processes a still image)."""
+    from seedvr2_tpu.ops.yuv import is_planar, yuv420_to_rgb01_np
+
+    return yuv420_to_rgb01_np(out.to_numpy()) if is_planar(out) else out
 
 
 def process_frames(runner, cfg, frames: np.ndarray, debug, mesh=None, tile_debug="false"):
@@ -337,7 +380,7 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     if kind == "image":
         img = vio.read_image(args.input)
-        out = process_frames(runner, cfg, img[None], debug, mesh)
+        out = _to_rgb_if_planar(process_frames(runner, cfg, img[None], debug, mesh))
         out_path = args.output or _default_out(args.input, "png")
         vio.write_image(out_path, out[0])
         n_frames = 1
@@ -359,7 +402,9 @@ def main(argv: Optional[List[str]] = None) -> int:
             base, ext = os.path.splitext(f)
             if ext.lower() in vio.IMAGE_EXTS:
                 img = vio.read_image(src)
-                out = process_frames(runner, cfg, img[None], debug, mesh)
+                out = _to_rgb_if_planar(
+                    process_frames(runner, cfg, img[None], debug, mesh)
+                )
                 vio.write_image(os.path.join(out_dir, f), out[0])
                 n_frames += 1
             else:
@@ -387,8 +432,24 @@ def _process_video(args, runner, cfg, debug, mesh, in_path: str, out_path: str) 
     from seedvr2_tpu.io import video as vio
 
     n_frames = 0
-    reader = vio.make_video_reader(in_path, dtype=np.uint8, backend=args.video_backend)
-    if reader.dtype == np.uint16:
+    # Native-planar ingestion: worthwhile only when the fused device paths
+    # will actually see the planes (mesh-off, no temporal overlap/prepend);
+    # otherwise the host would just convert them back.
+    want_planar = (
+        _resolve_pixfmt(args) == "yuv420"
+        and mesh is None
+        and args.temporal_overlap == 0
+        and args.prepend_frames == 0
+        and args.fused_pipeline != "off"
+        and args.tile_debug == "false"
+    )
+    reader = vio.make_video_reader(
+        in_path, dtype=np.uint8, backend=args.video_backend, planar=want_planar
+    )
+    if getattr(reader, "planar", False):
+        print("ffmpeg reader: native yuv420p planes feed the device "
+              "(colorspace conversion runs on-TPU)")
+    if reader.dtype == np.uint16 and not getattr(reader, "planar", False):
         print(f"ffmpeg reader: >8-bit source decodes to uint16 (16-bit device path)")
     if args.skip_first_frames:
         reader.seek(args.skip_first_frames)
@@ -418,16 +479,21 @@ def _process_video(args, runner, cfg, debug, mesh, in_path: str, out_path: str) 
 
     def emit(arr):
         nonlocal writer, n_frames
+        from seedvr2_tpu.ops.yuv import is_planar
+
         if len(arr) == 0:
             return
+        planar = is_planar(arr)
+        wkw = dict(planar_in=True, bit10=arr.depth == 10) if planar else {}
         if args.output_format == "png":
             vio.write_png_sequence(os.path.splitext(out_path)[0], arr, start_index=n_frames)
         elif manifest is not None:
             seg = manifest.segment_path(ci)
             w = vio.make_video_writer(
-                seg, arr.shape[2], arr.shape[1], fps, backend=args.video_backend
+                seg, arr.shape[2], arr.shape[1], fps, backend=args.video_backend,
+                **wkw,
             )
-            w.write(arr[..., :3])
+            w.write(arr if planar else arr[..., :3])
             w.close()
             manifest.mark_done(ci, seg)
         else:
@@ -435,14 +501,19 @@ def _process_video(args, runner, cfg, debug, mesh, in_path: str, out_path: str) 
                 writer = vio.make_video_writer(
                     out_path, arr.shape[2], arr.shape[1], fps,
                     backend=args.video_backend, audio_source=in_path,
+                    **wkw,
                 )
-            writer.write(arr[..., :3])
+            writer.write(arr if planar else arr[..., :3])
         n_frames += len(arr)
 
     for frames in reader.chunks(chunk, ov):
         if args.load_cap and n_frames >= args.load_cap:
             break
-        out = np.asarray(process_frames(runner, cfg, frames, debug, mesh, args.tile_debug))
+        out = process_frames(runner, cfg, frames, debug, mesh, args.tile_debug)
+        from seedvr2_tpu.ops.yuv import is_planar as _is_planar
+
+        if not _is_planar(out):
+            out = np.asarray(out)
         if pending_tail is not None:
             # Chunk seam: the first `ov` outputs re-render the previous
             # chunk's held-back tail frames — Hann-blend, emit once

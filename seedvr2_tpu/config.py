@@ -235,6 +235,14 @@ class PipelineConfig:
     # 10-bit x265 / PNG16 pipeline lossless; 8 halves the dominant output
     # transfer for 8-bit sinks (u8 mp4 preview, 8-bit PNG).
     output_bits: int = 16
+    # "rgb": packed RGB frames cross the link (3 or 6 B/px). "yuv420":
+    # the fused/chunked paths pack the video sink's NATIVE yuv420p planes
+    # on device (1.5 B/px at 8 bit, 3 at 10) — the mp4 writer consumes
+    # them raw, skipping the host swscale pass the reference performs
+    # (reference: inference_cli.py:640-713 converts on host). Only honored
+    # where the whole postprocess runs in-program (packed fused paths);
+    # other paths ignore it and return RGB. See ops/yuv.py.
+    output_pixfmt: str = "rgb"
     # "auto": when batches are independent (temporal_overlap=0, RGB, no
     # prepend/phased weights/mesh) run each batch as ONE fused executable
     # (transform->encode->DiT->decode->finalize, Runner.fused_batch);

@@ -64,6 +64,26 @@ def write_image(path: str, frame01: np.ndarray) -> None:
     cv2.imwrite(path, img)
 
 
+def _concat_t(a, b):
+    """Temporal concat for ndarray frames or PlanarYUV420 planes."""
+    from ..ops.yuv import PlanarYUV420, is_planar
+
+    if is_planar(a):
+        return PlanarYUV420(
+            np.concatenate([a.y, b.y], axis=0),
+            np.concatenate([a.u, b.u], axis=0),
+            np.concatenate([a.v, b.v], axis=0),
+            a.depth,
+        )
+    return np.concatenate([a, b], axis=0)
+
+
+def _copy_t(a):
+    from ..ops.yuv import is_planar
+
+    return a.tmap(np.copy) if is_planar(a) else a.copy()
+
+
 class VideoReader:
     def __init__(self, path: str, dtype=np.float32):
         """``dtype=np.uint8`` returns raw decoder bytes (RGB order, no host
@@ -112,7 +132,7 @@ class VideoReader:
             need = chunk_size - (len(carry) if carry is not None else 0)
             fresh = self.read(need)
             if carry is not None and len(carry) > 0:
-                chunk = np.concatenate([carry, fresh], axis=0) if len(fresh) else carry
+                chunk = _concat_t(carry, fresh) if len(fresh) else carry
             else:
                 chunk = fresh
             if len(chunk) == 0:
@@ -124,7 +144,7 @@ class VideoReader:
             yield chunk
             if len(fresh) < need:
                 return
-            carry = chunk[-overlap:].copy() if overlap > 0 else None
+            carry = _copy_t(chunk[-overlap:]) if overlap > 0 else None
 
     def close(self):
         self.cap.release()
@@ -155,6 +175,7 @@ def _parse_ffprobe_stream(stream: dict) -> dict:
         "fps": fps,
         "total_frames": int(nb) if nb not in (None, "N/A") else 0,
         "bits": bits,
+        "pix_fmt": pix,
     }
 
 
@@ -187,9 +208,16 @@ class FFmpegReader:
     survives end-to-end to the 10-bit x265 output.
 
     Same interface as VideoReader. ``dtype=np.uint8`` means "raw packed
-    decoder output": uint8 for 8-bit sources, uint16 for deeper ones."""
+    decoder output": uint8 for 8-bit sources, uint16 for deeper ones.
 
-    def __init__(self, path: str, dtype=np.float32):
+    ``planar=True``: when the source is yuv420-family (every h264/h265 mp4
+    is), skip the decoder-side swscale pass entirely and hand back
+    PlanarYUV420 codec planes — the device does the colorspace conversion
+    (ops/yuv.py) and the host link carries 1.5 B/px instead of 3. Falls
+    back to RGB automatically for non-420 sources; ``self.planar`` says
+    which mode is live."""
+
+    def __init__(self, path: str, dtype=np.float32, planar: bool = False):
         self.path = path
         meta = _ffprobe(path)
         self.width, self.height = meta["width"], meta["height"]
@@ -197,6 +225,13 @@ class FFmpegReader:
         self.total_frames = meta["total_frames"]
         self.bits = meta["bits"]
         self._u16 = self.bits > 8
+        self.planar = bool(
+            planar
+            and meta["pix_fmt"].startswith("yuv420p")
+            and self.bits in (8, 10)
+            and self.width % 2 == 0
+            and self.height % 2 == 0
+        )
         self._packed = np.dtype(dtype) == np.uint8
         self.dtype = (
             np.dtype(np.uint16 if self._u16 else np.uint8)
@@ -207,7 +242,10 @@ class FFmpegReader:
         self.proc: Optional[subprocess.Popen] = None
 
     def _spawn(self):
-        pix = "rgb48le" if self._u16 else "rgb24"
+        if self.planar:
+            pix = "yuv420p10le" if self._u16 else "yuv420p"
+        else:
+            pix = "rgb48le" if self._u16 else "rgb24"
         cmd = ["ffmpeg", "-loglevel", "error", "-i", self.path]
         if self._start:
             # frame-exact seek: drop the first N decoded frames (cv2 parity
@@ -223,10 +261,12 @@ class FFmpegReader:
             self.proc.kill()
             self.proc = None
 
-    def read(self, n: Optional[int] = None) -> np.ndarray:
+    def read(self, n: Optional[int] = None):
         if self.proc is None:
             self._spawn()
         raw = np.uint16 if self._u16 else np.uint8
+        if self.planar:
+            return self._read_planar(n, raw)
         frame_bytes = self.width * self.height * 3 * np.dtype(raw).itemsize
         frames = []
         while n is None or len(frames) < n:
@@ -244,6 +284,34 @@ class FFmpegReader:
         scale = 65535.0 if self._u16 else 255.0
         return out.astype(np.float32) / scale
 
+    def _read_planar(self, n: Optional[int], raw):
+        from ..ops.yuv import PlanarYUV420
+
+        h, w = self.height, self.width
+        isz = np.dtype(raw).itemsize
+        ybytes, cbytes = h * w * isz, (h // 2) * (w // 2) * isz
+        ys, us, vs = [], [], []
+        while n is None or len(ys) < n:
+            buf = self.proc.stdout.read(ybytes + 2 * cbytes)
+            if buf is None or len(buf) < ybytes + 2 * cbytes:
+                break
+            ys.append(np.frombuffer(buf, raw, h * w).reshape(h, w))
+            us.append(
+                np.frombuffer(buf, raw, (h // 2) * (w // 2), ybytes)
+                .reshape(h // 2, w // 2)
+            )
+            vs.append(
+                np.frombuffer(buf, raw, (h // 2) * (w // 2), ybytes + cbytes)
+                .reshape(h // 2, w // 2)
+            )
+        if not ys:
+            z = np.zeros((0, h, w), raw)
+            zc = np.zeros((0, h // 2, w // 2), raw)
+            return PlanarYUV420(z, zc, zc, self.bits)
+        return PlanarYUV420(
+            np.stack(ys), np.stack(us), np.stack(vs), self.bits
+        )
+
     chunks = VideoReader.chunks  # same streaming-overlap generator
 
     def close(self):
@@ -252,11 +320,13 @@ class FFmpegReader:
             self.proc = None
 
 
-def make_video_reader(path: str, dtype=np.float32, backend: str = "auto"):
+def make_video_reader(path: str, dtype=np.float32, backend: str = "auto",
+                      planar: bool = False):
     """Reader factory honoring --video_backend (reference:
     inference_cli.py:1354): 'opencv' -> cv2; 'ffmpeg' -> FFmpegReader
     (errors if ffmpeg is absent, like the reference's check :1536); 'auto'
-    -> ffmpeg only when it unlocks a >8-bit source, else cv2."""
+    -> ffmpeg when it unlocks a >8-bit source or native planar feeding
+    (``planar=True`` and a yuv420 source), else cv2."""
     if backend in ("opencv", "cv2"):
         return VideoReader(path, dtype)
     if backend == "ffmpeg":
@@ -264,11 +334,14 @@ def make_video_reader(path: str, dtype=np.float32, backend: str = "auto"):
             raise RuntimeError(
                 "--video_backend ffmpeg requires ffmpeg+ffprobe in PATH"
             )
-        return FFmpegReader(path, dtype)
+        return FFmpegReader(path, dtype, planar=planar)
     if have_ffmpeg() and have_ffprobe():
         try:
-            if _ffprobe(path)["bits"] > 8:
-                return FFmpegReader(path, dtype)
+            meta = _ffprobe(path)
+            if meta["bits"] > 8 or (
+                planar and meta["pix_fmt"].startswith("yuv420p")
+            ):
+                return FFmpegReader(path, dtype, planar=planar)
         except Exception:
             pass
     return VideoReader(path, dtype)
@@ -288,10 +361,19 @@ class FFmpegWriter:
         crf: int = 16,
         bit10: bool = True,
         audio_source: Optional[str] = None,
+        planar_in: bool = False,
     ):
-        pix_in = "rgb48le" if bit10 else "rgb24"
+        """``planar_in=True``: frames arrive as PlanarYUV420 (the device
+        packed the sink's native planes, ops/yuv.py) and stream into ffmpeg
+        raw — no host colorspace pass and half the pipe bytes. The plane
+        depth must match ``bit10`` (8 -> yuv420p, 10 -> yuv420p10le)."""
+        if planar_in:
+            pix_in = "yuv420p10le" if bit10 else "yuv420p"
+        else:
+            pix_in = "rgb48le" if bit10 else "rgb24"
         pix_out = "yuv420p10le" if bit10 else "yuv420p"
         self.bit10 = bit10
+        self.planar_in = planar_in
         cmd = [
             "ffmpeg", "-y", "-loglevel", "error",
             "-f", "rawvideo", "-pix_fmt", pix_in,
@@ -303,10 +385,17 @@ class FFmpegWriter:
         cmd += ["-c:v", codec, "-crf", str(crf), "-pix_fmt", pix_out, path]
         self.proc = subprocess.Popen(cmd, stdin=subprocess.PIPE)
 
-    def write(self, frames01: np.ndarray) -> None:
+    def write(self, frames01) -> None:
         """frames01: [T, H, W, 3] float in [0,1], uint8, or uint16 — the
-        packed dtypes stream straight into ffmpeg with no float pass."""
-        if self.bit10:
+        packed dtypes stream straight into ffmpeg with no float pass.
+        With planar_in, a PlanarYUV420 whose bytes pipe through raw."""
+        from ..ops.yuv import is_planar
+
+        if is_planar(frames01):
+            if not self.planar_in:
+                raise ValueError("writer was not constructed with planar_in")
+            data = frames01.to_numpy()
+        elif self.bit10:
             data = frameops.to_u16(frames01)
         else:
             data = frameops.to_u8(frames01)
@@ -333,9 +422,13 @@ class CV2Writer:
         fourcc = cv2.VideoWriter_fourcc(*"mp4v")
         self.writer = cv2.VideoWriter(path, fourcc, fps, (width, height))
 
-    def write(self, frames01: np.ndarray) -> None:
+    def write(self, frames01) -> None:
         import cv2
 
+        from ..ops.yuv import is_planar, yuv420_to_rgb01_np
+
+        if is_planar(frames01):  # degraded sink: convert planes on host
+            frames01 = yuv420_to_rgb01_np(frames01.to_numpy())
         for f in frames01:
             bgr = cv2.cvtColor(frameops.to_u8(f), cv2.COLOR_RGB2BGR)
             self.writer.write(bgr)

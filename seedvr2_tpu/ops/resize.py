@@ -109,14 +109,20 @@ def resize_video(video: jnp.ndarray, size: Tuple[int, int], method: str = "torch
     return out.astype(video.dtype)
 
 
-def to_f01(v: jnp.ndarray) -> jnp.ndarray:
+def to_f01(v) -> jnp.ndarray:
     """Promote device frames to float32 [0,1]. uint8/uint16 inputs are
     scaled by 1/255 resp. 1/65535 IN-PROGRAM — the video path uploads raw
     decoder bytes (1-2 B/px instead of 4), and `u.astype(f32)/max` on
     device equals the host conversion the fp32 path performs
     (io/frameops.py), so numerics follow the same [0,1] contract either
     way. uint16 is the ffmpeg reader's lossless >8-bit decode
-    (io/video.py:FFmpegReader)."""
+    (io/video.py:FFmpegReader). PlanarYUV420 input (the codec's native
+    planes, 1.5 B/px on the link) is colorspace-converted here so every
+    downstream path sees the same RGB [0,1] contract (ops/yuv.py)."""
+    from .yuv import PlanarYUV420, yuv420_to_rgb01
+
+    if isinstance(v, PlanarYUV420):
+        return yuv420_to_rgb01(v)
     f = v.astype(jnp.float32)
     if v.dtype == jnp.uint8:
         return f / 255.0

@@ -93,7 +93,17 @@ def prepare_batch(
     images: np.ndarray,  # [T, H, W, C]
     spec: BatchSpec,
 ) -> np.ndarray:
-    """Slice a batch, apply uniform + 4n+1 padding. Returns [T', H, W, C]."""
+    """Slice a batch, apply uniform + 4n+1 padding. Returns [T', H, W, C].
+    PlanarYUV420 input gets the identical axis-0 treatment per plane."""
+    from ..ops.yuv import is_planar
+
+    if is_planar(images):
+        return images[spec.start : spec.end].tmap(
+            lambda p: pad_to_4n1(
+                pad_temporal_reversed(p, spec.uniform_padding)
+                if spec.uniform_padding > 0 else p
+            )
+        )
     video = images[spec.start : spec.end]
     if spec.uniform_padding > 0:
         video = pad_temporal_reversed(video, spec.uniform_padding)

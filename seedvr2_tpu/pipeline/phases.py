@@ -75,7 +75,12 @@ def _upload_frames(rgb: np.ndarray) -> jnp.ndarray:
     output uploads raw (1-2 B/px, scaled in-program by
     ops/resize.py:to_f01; uint16 = the ffmpeg reader's >8-bit decode);
     float frames cross as float16 (half the bytes, >10-bit fidelity) and
-    are widened on device."""
+    are widened on device. PlanarYUV420 crosses as raw codec planes
+    (1.5 B/px, the cheapest of all — ops/yuv.py) and converts in-program."""
+    from ..ops.yuv import is_planar
+
+    if is_planar(rgb):
+        return rgb.tmap(jnp.asarray)
     if not isinstance(rgb, np.ndarray):
         return rgb
     if rgb.dtype in (np.uint8, np.uint16):
@@ -418,9 +423,8 @@ def generate_streaming(
         images.shape[1], images.shape[2], cfg.resolution, cfg.max_resolution
     )
     specs = batching.compute_batches(total, cfg.batch_size, 0, cfg.uniform_batch_size)
-    final = np.zeros(
-        (total, true_h, true_w, 3), _packed_dtype(cfg) if packed else np.float32
-    )
+    final = None  # allocated at first flush: RGB ndarray, or planar yuv420
+    # buffers when the runner packed the sink's native planes (ops/yuv.py)
     key_noise = batch_key(cfg.seed, "input_noise")
     debug.start_timer("streaming_pipeline")
     if progress_callback:
@@ -435,22 +439,44 @@ def generate_streaming(
     pending = None
 
     def flush(p):
-        nonlocal write
+        nonlocal write, final
         u16, ori = p
         from .runner import unpack_frames
+        from ..ops.yuv import PlanarYUV420, is_planar, yuv420_to_rgb01_np
 
-        if isinstance(u16, list):
-            # streamed column chunks: fetching chunk i blocks only until
-            # tile i's executable finishes, so the transfer of early chunks
-            # overlaps the still-running later tiles / next batch's head
-            for lo, hi, dev in u16:
-                host = jax.device_get(dev)
+        # streamed column chunks: fetching chunk i blocks only until
+        # tile i's executable finishes, so the transfer of early chunks
+        # overlaps the still-running later tiles / next batch's head
+        parts = u16 if isinstance(u16, list) else [(0, true_w, u16)]
+        for lo, hi, dev in parts:
+            host = jax.device_get(dev)  # pytree-aware: fetches planes too
+            if final is None:
+                if is_planar(host) and packed:
+                    dt = np.uint8 if host.depth == 8 else np.uint16
+                    final = PlanarYUV420(
+                        np.zeros((total, true_h, true_w), dt),
+                        np.zeros((total, true_h // 2, true_w // 2), dt),
+                        np.zeros((total, true_h // 2, true_w // 2), dt),
+                        host.depth,
+                    )
+                else:
+                    final = np.zeros(
+                        (total, true_h, true_w, 3),
+                        _packed_dtype(cfg) if packed else np.float32,
+                    )
+            if is_planar(host):
+                if is_planar(final):
+                    final.y[write : write + ori, :, lo:hi] = host.y[:ori]
+                    final.u[write : write + ori, :, lo // 2 : hi // 2] = host.u[:ori]
+                    final.v[write : write + ori, :, lo // 2 : hi // 2] = host.v[:ori]
+                else:  # caller wants floats but the sink packs planes
+                    final[write : write + ori, :, lo:hi] = yuv420_to_rgb01_np(
+                        host.to_numpy()
+                    )[:ori]
+            else:
                 final[write : write + ori, :, lo:hi] = (
                     host if packed else unpack_frames(host)
                 )[:ori]
-        else:
-            host = jax.device_get(u16)
-            final[write : write + ori] = (host if packed else unpack_frames(host))[:ori]
         write += ori
 
     for bi, spec in enumerate(specs):
@@ -465,7 +491,9 @@ def generate_streaming(
         debug.start_timer(f"batch_{bi+1}")
         video = batching.prepare_batch(images, spec)
         key_noise, sub = jax.random.split(key_noise)
-        fr16 = _upload_frames(video[..., :3])
+        from ..ops.yuv import is_planar as _is_planar
+
+        fr16 = _upload_frames(video if _is_planar(video) else video[..., :3])
         plan = runner.supports_chunked(fr16.shape, true_h, true_w)
         if plan is not None:
             u16 = runner.fused_batch_chunks(
@@ -616,6 +644,15 @@ def generate(
                     continue
                 raise
 
+    from ..ops.yuv import is_planar, yuv420_to_rgb01_np
+
+    if is_planar(images):
+        # The phase-wise path post-processes on host (RGBA, overlap blend,
+        # prepend trims); convert the planes once up front instead of
+        # threading planar through every phase — this is the OOM/feature
+        # fallback, not the hot path (the fused/chunked paths convert
+        # in-program, ops/yuv.py).
+        images = yuv420_to_rgb01_np(images.to_numpy()).astype(np.float32)
     ctx = make_context(cfg, debug)
     ctx["interrupt_fn"] = interrupt_fn
     ctx["packed"] = packed

@@ -34,6 +34,15 @@ def _pack_frames(out01: jnp.ndarray, bits: int) -> jnp.ndarray:
     return (out01 * 65535.0 + 0.5).astype(jnp.uint16)
 
 
+def _probe_first(out) -> None:
+    """Fetch one scalar of an async result so a RESOURCE_EXHAUSTED surfaces
+    here (block_until_ready does not block on the axon platform)."""
+    from ..ops.yuv import is_planar
+
+    arr = out.y if is_planar(out) else out
+    np.asarray(arr[(0,) * arr.ndim])
+
+
 def unpack_frames(arr) -> "np.ndarray":
     """Host-side inverse of _pack_frames: uint8/uint16 -> fp32 [0, 1]."""
     a = np.asarray(arr)
@@ -483,6 +492,16 @@ class Runner:
 
                 x = jax.vmap(one)(x, style)
             out01 = jnp.clip(x * 0.5 + 0.5, 0.0, 1.0)
+            if (
+                not batched
+                and c.output_pixfmt == "yuv420"
+                and true_h % 2 == 0
+                and true_w % 2 == 0
+            ):
+                # pack the mp4 sink's native planes (1.5 B/px vs RGB's 3)
+                from ..ops.yuv import rgb01_to_yuv420
+
+                return rgb01_to_yuv420(out01[0], 8 if c.output_bits == 8 else 10)
             u16 = _pack_frames(out01, c.output_bits)
             return u16 if batched else u16[0]
 
@@ -516,7 +535,7 @@ class Runner:
             noise_key, batch_key(seed, "dit"), pa,
         )
         if key not in self._oom_validated:
-            np.asarray(out[(0,) * out.ndim])  # surface OOM before committing
+            _probe_first(out)  # surface OOM before committing
             self._oom_validated.add(key)
         return out
 
@@ -677,15 +696,35 @@ class Runner:
 
                 x = jax.vmap(one)(x, style)
             out01 = jnp.clip(x * 0.5 + 0.5, 0.0, 1.0)
-            chunk = _pack_frames(out01, c.output_bits)[
-                0, :, :, emit_lo - cin_lo : emit_hi - cin_lo
-            ]
+            if self._yuv_chunks_ok(plan, true_h):
+                # each chunk covers absolute columns [emit_lo, emit_hi) —
+                # even boundaries (gated) keep the 2x2 chroma blocks of
+                # neighbouring chunks disjoint, so per-chunk packing equals
+                # whole-frame packing bit-for-bit
+                from ..ops.yuv import rgb01_to_yuv420
+
+                seg = out01[0, :, :, emit_lo - cin_lo : emit_hi - cin_lo]
+                chunk = rgb01_to_yuv420(seg, 8 if c.output_bits == 8 else 10)
+            else:
+                chunk = _pack_frames(out01, c.output_bits)[
+                    0, :, :, emit_lo - cin_lo : emit_hi - cin_lo
+                ]
             if last:
                 return chunk
             klo = (plan.emit[i] - plan.halo) - strip_lo
             return chunk, acc[:, :, :, klo:], cnt[:, :, :, klo:]
 
         return f
+
+    def _yuv_chunks_ok(self, plan, true_h: int) -> bool:
+        """yuv420 chunk packing needs every emitted column range 2-aligned
+        (chroma is 2x2-subsampled) and an even frame height; otherwise the
+        chunks silently stay RGB and the writer converts on host."""
+        return (
+            self.cfg.output_pixfmt == "yuv420"
+            and true_h % 2 == 0
+            and all(int(e) % 2 == 0 for e in plan.emit)
+        )
 
     def fused_batch_chunks(
         self,
@@ -738,8 +777,7 @@ class Runner:
             chunks.append((0 if i == 0 else plan.emit[i - 1], plan.emit[i], chunk))
         okey = ("chunk_run", ck, frames16.shape, true_h, true_w)
         if okey not in self._oom_validated:
-            last = chunks[-1][2]
-            np.asarray(last[(0,) * last.ndim])  # surface OOM before committing
+            _probe_first(chunks[-1][2])  # surface OOM before committing
             self._oom_validated.add(okey)
         return chunks
 
